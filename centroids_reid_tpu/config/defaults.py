@@ -1,0 +1,126 @@
+"""Default configuration tree.
+
+Key set and defaults mirror the reference yacs tree exactly
+(/root/reference/config/defaults.py:13-181) so that the reference's YAML
+config files and ``KEY VALUE`` CLI override lists work unchanged. Additional
+TPU-specific keys live under the ``TPU`` section and are strictly additive.
+"""
+
+from .node import ConfigNode
+
+
+def get_default_cfg() -> ConfigNode:
+    _C = ConfigNode()
+
+    # ------------------------------------------------------------------ MODEL
+    _C.MODEL = ConfigNode()
+    _C.MODEL.NAME = "resnet50"
+    _C.MODEL.BACKBONE_EMB_SIZE = 2048
+    _C.MODEL.LAST_STRIDE = 1
+    _C.MODEL.PRETRAINED = True
+    _C.MODEL.PRETRAIN_PATH = ""
+    _C.MODEL.USE_CENTROIDS = False
+    _C.MODEL.KEEP_CAMID_CENTROIDS = True
+    _C.MODEL.RESUME_TRAINING = False
+
+    # ------------------------------------------------------------------ INPUT
+    _C.INPUT = ConfigNode()
+    _C.INPUT.SIZE_TRAIN = [256, 128]
+    _C.INPUT.SIZE_TEST = [256, 128]
+    _C.INPUT.PROB = 0.5          # horizontal flip probability
+    _C.INPUT.RE_PROB = 0.5       # random erasing probability
+    _C.INPUT.PIXEL_MEAN = [0.485, 0.456, 0.406]
+    _C.INPUT.PIXEL_STD = [0.229, 0.224, 0.225]
+    _C.INPUT.PADDING = 10
+
+    # --------------------------------------------------------------- DATASETS
+    _C.DATASETS = ConfigNode()
+    _C.DATASETS.NAMES = "market1501"
+    _C.DATASETS.ROOT_DIR = "/home/data"
+    _C.DATASETS.JSON_TRAIN_PATH = ""
+
+    # ------------------------------------------------------------- DATALOADER
+    _C.DATALOADER = ConfigNode()
+    _C.DATALOADER.NUM_WORKERS = 6
+    _C.DATALOADER.SAMPLER = "random_identity"
+    _C.DATALOADER.NUM_INSTANCE = 4
+    _C.DATALOADER.DROP_LAST = True
+    # True for the baseline model, False for CTL (pad with masked mocks).
+    _C.DATALOADER.USE_RESAMPLING = True
+
+    # ----------------------------------------------------------------- SOLVER
+    _C.SOLVER = ConfigNode()
+    _C.SOLVER.OPTIMIZER_NAME = "Adam"
+    _C.SOLVER.MAX_EPOCHS = 120
+    _C.SOLVER.BASE_LR = 1e-4
+    _C.SOLVER.MOMENTUM = 0.9
+    _C.SOLVER.MARGIN = 0.5
+    _C.SOLVER.DISTANCE_FUNC = "euclidean"
+    _C.SOLVER.CLUSTER_MARGIN = 0.3
+    _C.SOLVER.CENTER_LR = 0.5
+    _C.SOLVER.CENTER_LOSS_WEIGHT = 0.0005
+    _C.SOLVER.WEIGHT_DECAY = 0.0005
+    _C.SOLVER.WEIGHT_DECAY_BIAS = 0.0005
+    _C.SOLVER.LR_SCHEDULER_NAME = "multistep_lr"
+    _C.SOLVER.MIN_LR = 0.0       # eta_min for cosine_annealing
+    _C.SOLVER.GAMMA = 0.1
+    _C.SOLVER.LR_STEPS = (40, 70)
+    _C.SOLVER.USE_WARMUP_LR = True
+    _C.SOLVER.WARMUP_EPOCHS = 10
+    _C.SOLVER.MONITOR_METRIC_NAME = "mAP"
+    _C.SOLVER.MONITOR_METRIC_MODE = "max"
+    _C.SOLVER.CHECKPOINT_PERIOD = 50
+    _C.SOLVER.EVAL_PERIOD = 5
+    # NOTE: despite the name this is the number of unique pids (P) per batch,
+    # the image count per step is IMS_PER_BATCH * DATALOADER.NUM_INSTANCE.
+    # (reference: datasets/samplers/distributed_pids_sampler.py:27)
+    _C.SOLVER.IMS_PER_BATCH = 64
+    _C.SOLVER.DIST_BACKEND = "ddp"  # accepted for compat; mesh DP is used
+    _C.SOLVER.QUERY_XENT_WEIGHT = 1.0
+    _C.SOLVER.QUERY_CONTRASTIVE_WEIGHT = 1.0
+    _C.SOLVER.CENTROID_CONTRASTIVE_WEIGHT = 1.0
+    _C.SOLVER.USE_AUTOMATIC_OPTIM = False
+
+    # ------------------------------------------------------------------- TEST
+    _C.TEST = ConfigNode()
+    _C.TEST.IMS_PER_BATCH = 128
+    _C.TEST.WEIGHT = ""
+    _C.TEST.FEAT_NORM = True
+    _C.TEST.ONLY_TEST = False
+    _C.TEST.VISUALIZE = "no"
+    _C.TEST.VISUALIZE_TOPK = 10
+    _C.TEST.VISUALIZE_MAX_NUMBER = 1000000
+
+    # ------------------------------------------------------------------- MISC
+    _C.GPU_IDS = [0]             # accepted for compat; TPU devices are used
+    _C.LOG_DIR = "logs"
+    _C.USE_MIXED_PRECISION = True   # bf16 compute on TPU
+    _C.OUTPUT_DIR = ""
+
+    # -------------------------------------------------------- REPRODUCIBILITY
+    _C.REPRODUCIBLE = False
+    _C.REPRODUCIBLE_NUM_RUNS = 3
+    _C.REPRODUCIBLE_SEED = 0
+
+    # ----------------------------------------------------------- TPU-SPECIFIC
+    _C.TPU = ConfigNode()
+    # Number of data-parallel groups the global batch is split into. Each
+    # group holds a full P x K identity batch; hard-example mining is local
+    # to a group (matches per-rank DDP semantics of the reference). 0 means
+    # "use jax.device_count()".
+    _C.TPU.NUM_GROUPS = 0
+    # Cache decoded+resized train images in host RAM (uint8).
+    _C.TPU.CACHE_IMAGES = True
+    # Number of host prefetch threads for image decoding.
+    _C.TPU.PREFETCH_THREADS = 4
+    # Batches to keep in flight on device.
+    _C.TPU.PREFETCH_DEPTH = 2
+    # Use the Pallas fused distance+top-k kernel for retrieval when possible.
+    _C.TPU.USE_PALLAS_RETRIEVAL = True
+    # Emit jax.profiler traces into LOG_DIR/traces when set.
+    _C.TPU.PROFILE = False
+
+    return _C
+
+
+cfg = get_default_cfg()

@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device CPU mesh so sharding paths are
+exercised without TPU hardware (SURVEY.md §4).
+
+Note: the ambient environment pins JAX_PLATFORMS=axon (TPU tunnel), so the
+env var alone is not enough — we override via jax.config after import, which
+takes effect because no backend has been initialised yet at conftest time.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env vars)
+
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: repeated test runs skip XLA recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,133 @@
+"""Functional torch oracles for parity tests.
+
+These run ``torch.nn.functional`` ops in the exact order documented for the
+reference backbones (see citations in centroids_reid_tpu/models/resnet.py),
+consuming the *flax* parameter trees (converting layouts back to torch
+conventions on the fly). They validate conv/BN/pool numerics and layout
+conversion without depending on torchvision.
+"""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+
+def _t(a):
+    return torch.from_numpy(np.asarray(a, dtype=np.float32))
+
+
+def conv_nchw(x, kernel_hwio, stride):
+    w = _t(kernel_hwio).permute(3, 2, 0, 1)  # HWIO -> OIHW
+    pad = kernel_hwio.shape[0] // 2
+    return F.conv2d(x, w, stride=stride, padding=pad)
+
+
+def bn_eval(x, p, s):
+    return F.batch_norm(
+        x, _t(s["mean"]), _t(s["var"]), _t(p["scale"]), _t(p["bias"]),
+        training=False, eps=1e-5,
+    )
+
+
+def instnorm(x, p):
+    return F.instance_norm(x, weight=_t(p["scale"]), bias=_t(p["bias"]), eps=1e-5)
+
+
+def _maybe_ibn(x, p, s):
+    """bn1 may be an IBN split (IN on first half, BN on second half)."""
+    if "IN" in p:
+        half = x.shape[1] // 2
+        x_in = instnorm(x[:, :half], p["IN"])
+        x_bn = bn_eval(x[:, half:], p["BN"], s["BN"])
+        return torch.cat([x_in, x_bn], 1)
+    return bn_eval(x, p, s)
+
+
+def bottleneck(x, p, s, stride):
+    out = conv_nchw(x, p["conv1"]["kernel"], 1)
+    out = F.relu(_maybe_ibn(out, p["bn1"], s.get("bn1", {})))
+    out = conv_nchw(out, p["conv2"]["kernel"], stride)
+    out = F.relu(bn_eval(out, p["bn2"], s["bn2"]))
+    out = conv_nchw(out, p["conv3"]["kernel"], 1)
+    out = bn_eval(out, p["bn3"], s["bn3"])
+    residual = x
+    if "downsample_conv" in p:
+        residual = conv_nchw(x, p["downsample_conv"]["kernel"], stride)
+        residual = bn_eval(residual, p["downsample_bn"], s["downsample_bn"])
+    return F.relu(out + residual)
+
+
+def basicblock(x, p, s, stride):
+    out = conv_nchw(x, p["conv1"]["kernel"], stride)
+    out = F.relu(bn_eval(out, p["bn1"], s["bn1"]))
+    out = conv_nchw(out, p["conv2"]["kernel"], 1)
+    out = bn_eval(out, p["bn2"], s["bn2"])
+    residual = x
+    if "downsample_conv" in p:
+        residual = conv_nchw(x, p["downsample_conv"]["kernel"], stride)
+        residual = bn_eval(residual, p["downsample_bn"], s["downsample_bn"])
+    return F.relu(out + residual)
+
+
+def resnet_trunk(x_nchw, params, batch_stats, layers, last_stride,
+                 bottleneck_blocks=True, stem_relu=False):
+    """Forward of the reference trunk: conv1 -> bn1 -> [relu] -> maxpool ->
+    layer1..4 (resnet.py:122-133, resnet_ibn_a.py:126-141)."""
+    x = _t(x_nchw) if isinstance(x_nchw, np.ndarray) else x_nchw
+    x = conv_nchw(x, params["conv1"]["kernel"], 2)
+    x = bn_eval(x, params["bn1"], batch_stats["bn1"])
+    if stem_relu:
+        x = F.relu(x)
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+
+    block = bottleneck if bottleneck_blocks else basicblock
+    strides = (1, 2, 2, last_stride)
+    for stage, nblocks in enumerate(layers):
+        for b in range(nblocks):
+            name = f"layer{stage + 1}_{b}"
+            stride = strides[stage] if b == 0 else 1
+            x = block(x, params[name], batch_stats[name], stride)
+    return x
+
+
+def randomize_stats(batch_stats, seed=0):
+    """Make BN running stats non-trivial so eval-mode parity is meaningful."""
+    rng = np.random.RandomState(seed)
+
+    def walk(node):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                out[k] = walk(v)
+            elif k == "mean":
+                out[k] = rng.normal(0, 0.5, np.shape(v)).astype(np.float32)
+            elif k == "var":
+                out[k] = rng.uniform(0.5, 2.0, np.shape(v)).astype(np.float32)
+            else:
+                out[k] = v
+        return out
+
+    return walk(batch_stats)
+
+
+def randomize_params(params, seed=0):
+    """Random weights (incl. BN scale/bias) for parity tests."""
+    rng = np.random.RandomState(seed)
+
+    def walk(node):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                out[k] = walk(v)
+            elif k == "kernel":
+                fan = np.prod(np.shape(v)[:-1])
+                out[k] = rng.normal(0, np.sqrt(2.0 / fan), np.shape(v)).astype(
+                    np.float32
+                )
+            elif k == "scale":
+                out[k] = rng.uniform(0.5, 1.5, np.shape(v)).astype(np.float32)
+            else:
+                out[k] = rng.normal(0, 0.2, np.shape(v)).astype(np.float32)
+        return out
+
+    return walk(params)
