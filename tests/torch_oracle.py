@@ -131,3 +131,107 @@ def randomize_params(params, seed=0):
         return out
 
     return walk(params)
+
+
+# ---------------------------------------------------------------------------
+# Loss oracles — explicit-loop implementations of the documented reference
+# semantics (SURVEY.md §2.5, train_ctl_model.py:79-148), used to validate the
+# vectorised JAX losses.
+# ---------------------------------------------------------------------------
+
+
+def oracle_euclidean(x, y):
+    m, n = x.shape[0], y.shape[0]
+    d = (x * x).sum(1)[:, None] + (y * y).sum(1)[None, :] - 2 * x @ y.T
+    return d.clamp(min=1e-12).sqrt()
+
+
+def oracle_cosine_dist(x, y, eps=1e-12):
+    xn = x / torch.clamp(x.norm(dim=1, keepdim=True), min=eps)
+    yn = y / torch.clamp(y.norm(dim=1, keepdim=True), min=eps)
+    return torch.abs(1 - xn @ yn.T).clamp(min=eps)
+
+
+def oracle_hard_mining(dist, labels):
+    n = dist.shape[0]
+    ap, an = [], []
+    for i in range(n):
+        pos = labels == labels[i]
+        neg = ~pos
+        ap.append(dist[i][pos].max())
+        an.append(dist[i][neg].min())
+    return torch.stack(ap), torch.stack(an)
+
+
+def oracle_triplet(feats, labels, margin=0.5, dist="euclidean", mask=None):
+    """Mask applied AFTER mining, like triplet_loss.py:148-151."""
+    dfun = oracle_euclidean if dist == "euclidean" else oracle_cosine_dist
+    dmat = dfun(feats, feats)
+    ap, an = oracle_hard_mining(dmat, labels)
+    if mask is not None:
+        ap, an = ap[mask], an[mask]
+    if margin is not None:
+        loss = F.relu(ap - an + margin).mean()  # MarginRankingLoss(margin)
+    else:
+        loss = F.softplus(ap - an).mean()       # SoftMarginLoss
+    return loss, ap, an
+
+
+def oracle_ctl_loss(features, labels, is_real, k, margin=0.5):
+    """Per-slot loop with boolean compaction (train_ctl_model.py:79-148)."""
+    pk = features.shape[0]
+    p = pk // k
+    f = features.reshape(p, k, -1)
+    r = is_real.reshape(p, k)
+
+    losses, daps, dans, l2s = [], [], [], []
+    for i in range(k):
+        valid = r[:, i].clone()
+        # pid valid in round i also requires >=1 other real slot
+        for c in range(p):
+            if valid[c] and r[c].sum() - int(r[c, i]) == 0:
+                valid[c] = False
+        if valid.sum() <= 1:
+            continue
+        queries, cents, labs = [], [], []
+        for c in range(p):
+            if not valid[c]:
+                continue
+            others = [s for s in range(k) if s != i and r[c, s]]
+            cents.append(f[c, others].mean(0))
+            queries.append(f[c, i])
+            labs.append(labels[c * k])
+        q = torch.stack(queries)
+        ce = torch.stack(cents)
+        emb = torch.cat([q, ce])
+        ll = torch.cat([torch.stack(labs), torch.stack(labs)])
+        loss, ap, an = oracle_triplet(emb, ll, margin)
+        losses.append(loss)
+        daps.append(ap.mean())
+        dans.append(an.mean())
+        l2s.append(ce.norm(dim=1).mean())
+    return {
+        "loss": torch.stack(losses).mean(),
+        "dist_ap": torch.stack(daps).mean(),
+        "dist_an": torch.stack(dans).mean(),
+        "l2_mean_centroid": torch.stack(l2s).mean(),
+        "valid_rounds": len(losses),
+    }
+
+
+def oracle_xent_smooth(logits, targets, num_classes, eps=0.1):
+    logp = F.log_softmax(logits, dim=1)
+    onehot = torch.zeros_like(logp).scatter_(1, targets[:, None], 1)
+    t = (1 - eps) * onehot + eps / num_classes
+    return (-t * logp).mean(0).sum()
+
+
+def oracle_center_loss(x, labels, centers):
+    n, c = x.shape[0], centers.shape[0]
+    dmat = (
+        (x * x).sum(1)[:, None].expand(n, c)
+        + (centers * centers).sum(1)[None, :].expand(n, c)
+        - 2 * x @ centers.T
+    )
+    mask = labels[:, None] == torch.arange(c)[None, :]
+    return (dmat * mask.float()).clamp(1e-12, 1e12).sum() / n
