@@ -1,0 +1,59 @@
+"""Device mesh and sharding helpers.
+
+The reference's only parallelism is data parallelism via Lightning DDP/NCCL
+(SURVEY.md §2.11). The TPU-native equivalent: a 1-D ``jax.sharding.Mesh``
+over the ``data`` axis; the global batch leads with a *group* dimension that
+is sharded over it, parameters are replicated, and XLA inserts the gradient
+all-reduce. Hard-example mining and BN batch statistics are computed per
+group (vmap over the group axis), which reproduces per-rank DDP semantics
+exactly — each DDP rank mines triplets only within its local P x K batch.
+
+Retrieval additionally uses a ``gallery`` axis: the Q x G distance + top-k
+work is sharded over gallery rows (the "scale" subsystem replacing the
+reference's >30k-row host chunking, utils/reid_metric.py:93-110).
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+GALLERY_AXIS = "gallery"
+
+
+def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
+
+
+def make_retrieval_mesh(num_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]), (GALLERY_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def group_sharded(mesh: Mesh) -> NamedSharding:
+    """Shard the leading group axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def gallery_sharded(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(GALLERY_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a batch pytree (leading dim = groups) sharded over data axis."""
+    sh = group_sharded(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
