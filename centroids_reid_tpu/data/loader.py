@@ -1,0 +1,179 @@
+"""Host-side batch assembly with background prefetch.
+
+The reference uses torch DataLoader worker processes for decode+augment
+(utils/misc.py:165, datasets/bases.py:116-124). Here the host only decodes
+and resizes (optionally from an in-RAM uint8 cache); augmentation runs
+on-device (transforms.py). A background thread assembles the next uint8
+batch while the TPU executes the current step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .datasets import Record, ReidDataset
+from .sampler import EpochPlan, build_epoch_plan
+from .transforms import load_and_resize
+
+
+class ImageStore:
+    """Decoded-and-resized uint8 image provider with optional RAM cache."""
+
+    def __init__(self, size_hw: Tuple[int, int], cache: bool = True):
+        self.size_hw = tuple(size_hw)
+        self.cache_enabled = cache
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def get(self, path: str) -> np.ndarray:
+        if self.cache_enabled:
+            img = self._cache.get(path)
+            if img is None:
+                img = load_and_resize(path, self.size_hw)
+                self._cache[path] = img
+            return img
+        return load_and_resize(path, self.size_hw)
+
+
+class TrainLoader:
+    """Yields per-step host batches for the P x K identity trainer.
+
+    Batch dict (all numpy, group-major):
+      images  [G, P*K, H, W, 3] uint8 (mock slots zero)
+      labels  [G, P*K] int32
+      camids  [G, P*K] int32
+      is_real [G, P*K] bool
+    """
+
+    def __init__(self, dataset: ReidDataset, cfg, num_groups: int,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.num_groups = num_groups
+        self.batch_pids = cfg.SOLVER.IMS_PER_BATCH
+        self.num_instances = cfg.DATALOADER.NUM_INSTANCE
+        self.use_resampling = cfg.DATALOADER.USE_RESAMPLING
+        self.store = ImageStore(cfg.INPUT.SIZE_TRAIN, cfg.TPU.CACHE_IMAGES)
+        self.prefetch = prefetch
+        self._records: List[Record] = dataset.train
+
+    def plan_for_epoch(self, epoch: int) -> EpochPlan:
+        return build_epoch_plan(
+            self.dataset.train_dict,
+            self.batch_pids,
+            self.num_instances,
+            self.num_groups,
+            epoch,
+            self.use_resampling,
+        )
+
+    def steps_per_epoch(self, epoch: int = 0) -> int:
+        return self.plan_for_epoch(epoch).num_steps
+
+    def _assemble(self, plan: EpochPlan, t: int) -> dict:
+        g, p, k = plan.sample_idx.shape[1:]
+        h, w = self.store.size_hw
+        images = np.zeros((g, p * k, h, w, 3), np.uint8)
+        labels = np.zeros((g, p * k), np.int32)
+        camids = np.zeros((g, p * k), np.int32)
+        is_real = plan.is_real[t].reshape(g, p * k).copy()
+        for gi in range(g):
+            flat = 0
+            for pi in range(p):
+                for ki in range(k):
+                    rec = self._records[plan.sample_idx[t, gi, pi, ki]]
+                    labels[gi, flat] = rec.pid
+                    camids[gi, flat] = rec.camid
+                    if is_real[gi, flat]:
+                        images[gi, flat] = self.store.get(rec.path)
+                    flat += 1
+        return {
+            "images": images,
+            "labels": labels,
+            "camids": camids,
+            "is_real": is_real,
+        }
+
+    def epoch(self, epoch: int) -> Iterator[dict]:
+        """Iterate one epoch with background prefetch."""
+        plan = self.plan_for_epoch(epoch)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for t in range(plan.num_steps):
+                if stop.is_set():
+                    return
+                q.put(self._assemble(plan, t))
+            q.put(None)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+class EvalLoader:
+    """Sequential batches over query + gallery (datasets/bases.py:126-136).
+
+    Yields (images [B,H,W,3] uint8, pids, camids, valid-mask); the final
+    batch is zero-padded to the static batch size with valid=False tails.
+    """
+
+    def __init__(self, records: List[Record], cfg,
+                 batch_size: Optional[int] = None, prefetch: int = 2):
+        self.records = records
+        self.batch_size = batch_size or cfg.TEST.IMS_PER_BATCH
+        self.store = ImageStore(cfg.INPUT.SIZE_TEST, cfg.TPU.CACHE_IMAGES)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return -(-len(self.records) // self.batch_size)
+
+    def _assemble(self, start: int) -> dict:
+        h, w = self.store.size_hw
+        b = self.batch_size
+        chunk = self.records[start:start + b]
+        images = np.zeros((b, h, w, 3), np.uint8)
+        pids = np.zeros((b,), np.int64)
+        camids = np.zeros((b,), np.int64)
+        valid = np.zeros((b,), bool)
+        for i, rec in enumerate(chunk):
+            images[i] = self.store.get(rec.path)
+            pids[i] = rec.pid
+            camids[i] = rec.camid
+            valid[i] = True
+        return {
+            "images": images, "pids": pids, "camids": camids, "valid": valid,
+        }
+
+    def __iter__(self) -> Iterator[dict]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for start in range(0, len(self.records), self.batch_size):
+                if stop.is_set():
+                    return
+                q.put(self._assemble(start))
+            q.put(None)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
