@@ -1,0 +1,111 @@
+"""Orbax checkpointing: best-metric + periodic ring + resume.
+
+Replaces the reference's three mechanisms (SURVEY.md §5):
+1. best-metric checkpoint monitoring mAP max (utils/misc.py:80-86);
+2. periodic full-trainer checkpoints with ring retention of the newest
+   n_saved (callbacks/chechpointer_callback.py:57-74);
+3. backbone/full-model weight loading (handled by models/convert.py).
+
+A checkpoint is the whole TrainState pytree (params incl. centers,
+batch_stats, opt_state, step) plus the config YAML — the analogue of a
+Lightning ckpt's hparams+state_dict (modelling/bases.py:63-64).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, root_dir: str, n_saved: int = 1, mode: str = "max"):
+        self.root = os.path.abspath(root_dir)
+        self.auto_dir = os.path.join(self.root, "auto_checkpoints")
+        self.best_dir = os.path.join(self.root, "checkpoints")
+        os.makedirs(self.auto_dir, exist_ok=True)
+        os.makedirs(self.best_dir, exist_ok=True)
+        self.n_saved = n_saved
+        self.mode = mode
+        self.best_metric: Optional[float] = None
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    # -- periodic ring ----------------------------------------------------
+    def save_periodic(self, epoch: int, state, cfg=None):
+        path = os.path.join(self.auto_dir, f"checkpoint_epoch{epoch}")
+        self._save(path, state, cfg)
+        self._prune_ring()
+
+    def _ring_entries(self):
+        return sorted(
+            (
+                d
+                for d in os.listdir(self.auto_dir)
+                if d.startswith("checkpoint_epoch")
+                and os.path.isdir(os.path.join(self.auto_dir, d))
+            ),
+            key=lambda d: int(d.rsplit("epoch", 1)[1]),
+        )
+
+    def _prune_ring(self):
+        entries = self._ring_entries()
+        while len(entries) > self.n_saved:
+            victim = entries.pop(0)
+            shutil.rmtree(os.path.join(self.auto_dir, victim), ignore_errors=True)
+            sidecar = os.path.join(self.auto_dir, victim + ".cfg.yml")
+            if os.path.exists(sidecar):
+                os.remove(sidecar)
+
+    # -- best-metric ------------------------------------------------------
+    def save_if_best(self, epoch: int, state, metric: float, cfg=None) -> bool:
+        better = (
+            self.best_metric is None
+            or (self.mode == "max" and metric > self.best_metric)
+            or (self.mode == "min" and metric < self.best_metric)
+        )
+        if not better:
+            return False
+        self.best_metric = metric
+        for d in os.listdir(self.best_dir):
+            full = os.path.join(self.best_dir, d)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.remove(full)
+        path = os.path.join(self.best_dir, f"epoch={epoch}")
+        self._save(path, state, cfg)
+        print(f"Saved best checkpoint (metric={metric:.4f}) at {path}")
+        return True
+
+    # -- io ---------------------------------------------------------------
+    def _save(self, path: str, state, cfg):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        if cfg is not None:
+            with open(path + ".cfg.yml", "w") as f:
+                f.write(cfg.dump())
+
+    def latest_periodic(self) -> Optional[str]:
+        entries = self._ring_entries()
+        return os.path.join(self.auto_dir, entries[-1]) if entries else None
+
+
+def restore_state(path: str, target_state):
+    """Restore a TrainState saved by CheckpointManager (shape-checked)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), item=target_state)
+    return restored
+
+
+def epoch_of_checkpoint(path: str) -> Optional[int]:
+    base = os.path.basename(os.path.normpath(path))
+    for marker in ("checkpoint_epoch", "epoch="):
+        if marker in base:
+            try:
+                return int(base.split(marker)[-1])
+            except ValueError:
+                return None
+    return None

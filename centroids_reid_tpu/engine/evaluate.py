@@ -1,0 +1,93 @@
+"""Validation / test: embedding extraction + centroid eval + metrics.
+
+Mirrors the reference flow (/root/reference/modelling/bases.py:169-318):
+``emb = bn(backbone(x))`` per batch, concatenated over query+gallery, then
+optionally replaced by per-pid centroids, then R1/mAP. The reference runs
+eval on rank 0 only; here extraction is a jitted static-shape program and
+the ranking runs sharded/chunked on device, so there is no reason to idle —
+but the semantics (full val set, one evaluator) are identical.
+"""
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import EvalLoader, normalize_batch
+from ..metrics import K_LIST, R1mAP, build_centroid_eval_set
+from ..metrics.eval_reid import ReidMetrics
+
+
+def make_embed_fn(model, cfg):
+    mean = tuple(cfg.INPUT.PIXEL_MEAN)
+    std = tuple(cfg.INPUT.PIXEL_STD)
+    dtype = jnp.bfloat16 if cfg.USE_MIXED_PRECISION else jnp.float32
+
+    @jax.jit
+    def embed(params_model, batch_stats, imgs_u8):
+        x = normalize_batch(imgs_u8, mean, std, dtype=dtype)
+        return model.apply(
+            {"params": params_model, "batch_stats": batch_stats},
+            x,
+            method=model.embed,
+        )
+
+    return embed
+
+
+def extract_embeddings(
+    model, cfg, params_model, batch_stats, loader: EvalLoader
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (embeddings [N,D] fp32, pids [N], camids [N])."""
+    embed = make_embed_fn(model, cfg)
+    embs, pids, camids = [], [], []
+    for batch in loader:
+        e = np.asarray(embed(params_model, batch_stats, batch["images"]))
+        v = batch["valid"]
+        embs.append(e[v])
+        pids.append(batch["pids"][v])
+        camids.append(batch["camids"][v])
+    return (
+        np.concatenate(embs, axis=0),
+        np.concatenate(pids, axis=0),
+        np.concatenate(camids, axis=0),
+    )
+
+
+def compute_reid_metrics(
+    cfg, embeddings, pids, camids, num_query: int, use_centroids: bool
+) -> ReidMetrics:
+    """get_val_metrics equivalent (bases.py:264-297 + 307-314)."""
+    respect = bool(cfg.MODEL.KEEP_CAMID_CENTROIDS and use_centroids)
+    if use_centroids:
+        print("Evaluation is done using centroids")
+        es = build_centroid_eval_set(
+            embeddings, pids, camids, num_query, respect
+        )
+        embeddings, pids, camids = es.embeddings, es.labels, es.camids
+    evaluator = R1mAP(
+        num_query=num_query,
+        feat_norm=cfg.TEST.FEAT_NORM,
+        dist_name=cfg.SOLVER.DISTANCE_FUNC,
+    )
+    return evaluator.compute(embeddings, pids, camids, respect_camids=respect)
+
+
+def run_validation(
+    cfg, model, params_model, batch_stats, dataset, use_centroids: bool
+) -> Dict[str, float]:
+    """Full validation pass; returns {'mAP': ..., 'Top-1': ..., ...}."""
+    loader = EvalLoader(dataset.val, cfg)
+    emb, pids, camids = extract_embeddings(
+        model, cfg, params_model, batch_stats, loader
+    )
+    m = compute_reid_metrics(
+        cfg, emb, pids, camids, dataset.num_query, use_centroids
+    )
+    log = {"mAP": m.mAP}
+    for val, kk in zip(m.all_topk, K_LIST):
+        print("top-k, Rank-{:<3}:{:.1%}".format(kk, float(val)))
+        log[f"Top-{kk}"] = float(val)
+    print(f"mAP: {m.mAP}")
+    return log

@@ -1,0 +1,173 @@
+"""The training loop (replaces pl.Trainer.fit for this framework).
+
+Flow parity with /root/reference/utils/misc.py:73-161 and
+modelling/bases.py:140-167: per-epoch LR schedule + warmup, epoch-seeded
+resampling of the identity plan, periodic validation on the full val set,
+best-mAP + periodic ring checkpoints, and the end-of-training double test
+with USE_CENTROIDS toggled.
+
+TPU shape: one jitted train step (donated state), device-side augmentation,
+host->device transfer of uint8 batches only, G groups sharded over the data
+mesh axis.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import TrainLoader, augment_batch, init_dataset
+from ..models import create_model
+from ..models.convert import load_pretrained_backbone, graft
+from ..parallel import make_data_mesh, replicate, shard_batch
+from ..solver import lr_for_epoch, set_learning_rate
+from .checkpoint import CheckpointManager, epoch_of_checkpoint, restore_state
+from .evaluate import run_validation
+from .logging import MetricsLogger
+from .state import create_train_state
+from .steps import make_train_step
+
+
+def num_groups(cfg) -> int:
+    return cfg.TPU.NUM_GROUPS or jax.device_count()
+
+
+def build_model_and_state(cfg, dataset, seed: int = 0):
+    model = create_model(cfg, num_classes=dataset.num_classes)
+    state, tx = create_train_state(cfg, model, dataset.num_classes, seed=seed)
+
+    if (
+        cfg.MODEL.PRETRAINED
+        and cfg.MODEL.PRETRAIN_PATH
+        and not cfg.MODEL.RESUME_TRAINING
+        and not cfg.TEST.ONLY_TEST
+    ):
+        # ImageNet/self-trained backbone weights (baseline.py:84-87)
+        print("Loading pretrained model......")
+        bb_params, bb_stats = load_pretrained_backbone(cfg.MODEL.PRETRAIN_PATH)
+        params_model = graft(
+            state.params["model"], {"backbone": bb_params}
+        )
+        batch_stats = graft(state.batch_stats, {"backbone": bb_stats})
+        state = state.replace(
+            params={**state.params, "model": params_model},
+            batch_stats=batch_stats,
+        )
+    return model, state, tx
+
+
+def fit(cfg, mode: str, log_dir: str, seed: int = 0,
+        dataset=None) -> Dict[str, float]:
+    """Train + periodic eval + final double test. Returns last metrics."""
+    if dataset is None:
+        dataset = init_dataset(cfg.DATASETS.NAMES, cfg)
+        dataset.print_statistics()
+
+    g = num_groups(cfg)
+    mesh = make_data_mesh(g) if g > 1 else None
+    model, state, tx = build_model_and_state(cfg, dataset, seed)
+    train_step = jax.jit(
+        make_train_step(model, tx, cfg, dataset.num_classes, mode),
+        donate_argnums=0,
+    )
+
+    start_epoch = 0
+    ckpt = CheckpointManager(
+        log_dir, n_saved=1, mode=cfg.SOLVER.MONITOR_METRIC_MODE
+    )
+    if cfg.MODEL.RESUME_TRAINING and cfg.MODEL.PRETRAIN_PATH:
+        state = restore_state(cfg.MODEL.PRETRAIN_PATH, state)
+        resumed = epoch_of_checkpoint(cfg.MODEL.PRETRAIN_PATH)
+        start_epoch = (resumed + 1) if resumed is not None else 0
+        print(f"Resumed from {cfg.MODEL.PRETRAIN_PATH} at epoch {start_epoch}")
+
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    logger = MetricsLogger(log_dir, "train")
+    loader = TrainLoader(dataset, cfg, num_groups=g,
+                         prefetch=cfg.TPU.PREFETCH_DEPTH)
+    mean = tuple(cfg.INPUT.PIXEL_MEAN)
+    std = tuple(cfg.INPUT.PIXEL_STD)
+    size_hw = tuple(cfg.INPUT.SIZE_TRAIN)
+    dtype = jnp.bfloat16 if cfg.USE_MIXED_PRECISION else jnp.float32
+    base_key = jax.random.PRNGKey(cfg.REPRODUCIBLE_SEED + 17 * seed)
+
+    metrics_out: Dict[str, float] = {}
+    for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS):
+        lr = lr_for_epoch(epoch, cfg)
+        set_learning_rate(state.opt_state, lr)
+        epoch_key = jax.random.fold_in(base_key, epoch)
+
+        agg: Dict[str, list] = {}
+        t0 = time.time()
+        n_steps = 0
+        for t, batch in enumerate(loader.epoch(epoch)):
+            images = jnp.asarray(batch["images"])
+            is_real = jnp.asarray(batch["is_real"])
+            x = augment_batch(
+                images, is_real, jax.random.fold_in(epoch_key, t),
+                size_hw, cfg.INPUT.PADDING, mean, std,
+                cfg.INPUT.PROB, cfg.INPUT.RE_PROB, dtype=dtype,
+            )
+            device_batch = {
+                "images": x,
+                "labels": jnp.asarray(batch["labels"]),
+                "is_real": is_real,
+            }
+            if mesh is not None:
+                device_batch = shard_batch(mesh, device_batch)
+            state, step_metrics = train_step(state, device_batch)
+            n_steps += 1
+            for k, v in step_metrics.items():
+                agg.setdefault(k, []).append(v)
+
+        # epoch end: one host sync for all step metrics
+        epoch_metrics = {
+            k: float(np.mean([float(x) for x in v])) for k, v in agg.items()
+        }
+        epoch_metrics["lr"] = lr
+        epoch_metrics["epoch_time_s"] = time.time() - t0
+        epoch_metrics["steps"] = n_steps
+        # name mapping parity: epoch_train_loss, epoch_dist_ap/an
+        epoch_metrics["epoch_train_loss"] = epoch_metrics.pop("loss", 0.0)
+        if "step_dist_ap" in epoch_metrics:
+            epoch_metrics["epoch_dist_ap"] = epoch_metrics.pop("step_dist_ap")
+            epoch_metrics["epoch_dist_an"] = epoch_metrics.pop("step_dist_an")
+        logger.log_metrics(epoch_metrics, step=epoch)
+        print(
+            f"epoch {epoch}: loss={epoch_metrics['epoch_train_loss']:.4f} "
+            f"lr={lr:.2e} steps={n_steps} "
+            f"({epoch_metrics['epoch_time_s']:.1f}s)"
+        )
+
+        if (epoch + 1) % cfg.SOLVER.EVAL_PERIOD == 0:
+            val = run_validation(
+                cfg, model, state.params["model"], state.batch_stats,
+                dataset, use_centroids=cfg.MODEL.USE_CENTROIDS,
+            )
+            logger.log_metrics(val, step=epoch)
+            metrics_out = val
+            ckpt.save_if_best(
+                epoch, state, val[cfg.SOLVER.MONITOR_METRIC_NAME], cfg
+            )
+        ckpt.save_periodic(epoch, state, cfg)
+
+    # end-of-training double test, both eval modes (misc.py:159-161)
+    for use_centroids in (cfg.MODEL.USE_CENTROIDS, not cfg.MODEL.USE_CENTROIDS):
+        val = run_validation(
+            cfg, model, state.params["model"], state.batch_stats,
+            dataset, use_centroids=use_centroids,
+        )
+        tag = "centroids" if use_centroids else "plain"
+        logger.log_metrics(
+            {f"test_{tag}_{k}": v for k, v in val.items()},
+            step=cfg.SOLVER.MAX_EPOCHS,
+        )
+        metrics_out.update({f"test_{tag}_{k}": v for k, v in val.items()})
+    logger.close()
+    return metrics_out

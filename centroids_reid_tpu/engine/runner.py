@@ -1,0 +1,92 @@
+"""Top-level orchestration: run_main / run_single equivalents.
+
+Mirrors /root/reference/utils/misc.py:73-179: LOG_DIR defaulting, the
+REPRODUCIBLE multi-run loop, the ONLY_TEST path that loads a checkpoint and
+evaluates twice with USE_CENTROIDS toggled, and the train-then-double-test
+path. Checkpoints may be orbax directories (native) or torch .ckpt/.pth
+files from the reference (converted on load via models/convert.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+from ..data import init_dataset
+from ..models import create_model
+from ..models.convert import graft, load_reference_checkpoint
+from .checkpoint import restore_state
+from .evaluate import run_validation
+from .fit import build_model_and_state, fit
+from .logging import MetricsLogger, next_version_dir
+
+
+def load_model_for_test(cfg, dataset):
+    """load_from_checkpoint equivalent (misc.py:129-135)."""
+    model, state, _ = build_model_and_state(cfg, dataset)
+    path = cfg.MODEL.PRETRAIN_PATH
+    if not path:
+        raise ValueError("TEST.ONLY_TEST requires MODEL.PRETRAIN_PATH")
+    if os.path.isdir(path):
+        state = restore_state(path, state)
+        params_model = state.params["model"]
+        batch_stats = state.batch_stats
+    else:
+        # reference torch checkpoint
+        converted = load_reference_checkpoint(path)
+        params_model = graft(state.params["model"], converted["params"])
+        batch_stats = graft(state.batch_stats, converted["batch_stats"])
+    return model, params_model, batch_stats
+
+
+def run_single(cfg, mode: str, logger_save_dir: str) -> Dict[str, float]:
+    log_dir = next_version_dir(cfg.LOG_DIR, logger_save_dir)
+    print(f"Logging to {log_dir}")
+    with open(os.path.join(log_dir, "config.yml"), "w") as f:
+        f.write(cfg.dump())
+
+    dataset = init_dataset(cfg.DATASETS.NAMES, cfg)
+    dataset.print_statistics()
+
+    if cfg.TEST.ONLY_TEST:
+        model, params_model, batch_stats = load_model_for_test(cfg, dataset)
+        logger = MetricsLogger(log_dir, "test")
+        out: Dict[str, float] = {}
+        # test twice with USE_CENTROIDS toggled (misc.py:136-139)
+        for use_centroids in (
+            cfg.MODEL.USE_CENTROIDS, not cfg.MODEL.USE_CENTROIDS
+        ):
+            val = run_validation(
+                cfg, model, params_model, batch_stats, dataset,
+                use_centroids=use_centroids,
+            )
+            tag = "centroids" if use_centroids else "plain"
+            logger.log_metrics(
+                {f"test_{tag}_{k}": v for k, v in val.items()}, step=0
+            )
+            out.update({f"test_{tag}_{k}": v for k, v in val.items()})
+        logger.close()
+        return out
+
+    return fit(cfg, mode, log_dir, seed=cfg.REPRODUCIBLE_SEED,
+               dataset=dataset)
+
+
+def run_main(cfg, mode: str, logger_save_dir: str) -> Dict[str, float]:
+    """Multi-run entry (misc.py:164-179)."""
+    cfg.LOG_DIR = (
+        f"logs/{cfg.DATASETS.NAMES}" if cfg.OUTPUT_DIR == "" else cfg.OUTPUT_DIR
+    )
+    out: Dict[str, float] = {}
+    if cfg.REPRODUCIBLE:
+        base = cfg.REPRODUCIBLE_SEED
+        for seed in range(base, base + cfg.REPRODUCIBLE_NUM_RUNS):
+            cfg.REPRODUCIBLE_SEED = seed
+            np.random.seed(seed)
+            out = run_single(cfg, mode, logger_save_dir)
+    else:
+        for _ in range(cfg.REPRODUCIBLE_NUM_RUNS):
+            out = run_single(cfg, mode, logger_save_dir)
+    return out

@@ -1,0 +1,95 @@
+"""R1/mAP evaluator: normalise, distance matrix, rank, score.
+
+Equivalent of ``R1_mAP.compute`` (/root/reference/utils/reid_metric.py:112-150):
+optional L2 feature normalisation, query/gallery split at num_query, full
+Q x G distance matrix + argsort, then the market protocol metrics. The
+reference chunks galleries > 30,000 rows on the host (:93-110); here the
+distance matrix is computed on device in gallery chunks of bounded memory —
+same result, MXU-sized blocks.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses.distances import get_dist_func
+from .eval_reid import ReidMetrics, eval_func
+
+# Max fp32 elements of the distance matrix kept resident per chunk (~256 MB).
+_CHUNK_ELEMS = 64 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("dist_name",))
+def _dist_chunk(qf, gf_chunk, dist_name):
+    return get_dist_func(dist_name, eval_mode=True)(qf, gf_chunk)
+
+
+def compute_distmat(
+    qf: np.ndarray, gf: np.ndarray, dist_name: str = "euclidean"
+) -> np.ndarray:
+    """[Q,D] x [G,D] -> [Q,G] fp32 distances, chunked over gallery."""
+    q, g = qf.shape[0], gf.shape[0]
+    chunk = max(1, min(g, _CHUNK_ELEMS // max(q, 1)))
+    qj = jnp.asarray(qf, jnp.float32)
+    out = np.empty((q, g), np.float32)
+    for s in range(0, g, chunk):
+        e = min(s + chunk, g)
+        out[:, s:e] = np.asarray(
+            _dist_chunk(qj, jnp.asarray(gf[s:e], jnp.float32), dist_name)
+        )
+    return out
+
+
+def l2_normalize_rows(x: np.ndarray) -> np.ndarray:
+    """torch F.normalize(p=2, dim=1) parity: x / max(||x||, eps)."""
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(n, 1e-12)
+
+
+class R1mAP:
+    """Functional evaluator (no trainer plumbing needed)."""
+
+    def __init__(
+        self,
+        num_query: int,
+        max_rank: int = 50,
+        feat_norm: bool = True,
+        dist_name: str = "euclidean",
+    ):
+        self.num_query = num_query
+        self.max_rank = max_rank
+        self.feat_norm = feat_norm
+        self.dist_name = dist_name
+
+    def compute(
+        self, feats, pids, camids, respect_camids: bool = False
+    ) -> ReidMetrics:
+        feats = np.asarray(feats, np.float32)
+        if self.feat_norm:
+            print("The test feature is normalized")
+            feats = l2_normalize_rows(feats)
+
+        nq = self.num_query
+        qf, gf = feats[:nq], feats[nq:]
+        q_pids = np.asarray(pids[:nq])
+        g_pids = np.asarray(pids[nq:])
+        q_camids = np.asarray(camids[:nq])
+        g_camids = np.asarray(camids[nq:])
+
+        distmat = compute_distmat(qf, gf, self.dist_name)
+        indices = np.asarray(jnp.argsort(jnp.asarray(distmat), axis=1))
+
+        metrics = eval_func(
+            indices,
+            q_pids,
+            g_pids,
+            q_camids,
+            g_camids,
+            self.max_rank,
+            respect_camids,
+        )
+        self.last_distmat = distmat  # for rank visualisation
+        return metrics
