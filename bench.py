@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Headline benchmark: embedding extraction throughput on one TPU chip.
+
+Flagship configuration = the reference's canonical person-reid inference
+path (ResNet-50, last_stride 1, 256x128, bf16 compute, BNNeck embedding —
+see BASELINE.md "north-star targets": >= 10,000 embeddings/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": "embeddings_per_sec", "value": N, "unit": "imgs/s",
+   "vs_baseline": N / 10000}
+
+Timing notes: the axon tunnel has ~40-50 ms fixed latency per dispatch, so
+the model is scanned over S batches inside a single jitted call and the
+result is forced with a scalar transfer (block_until_ready alone returns
+early through the tunnel).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from centroids_reid_tpu.config import get_default_cfg
+    from centroids_reid_tpu.models import create_model, init_model
+
+    cfg = get_default_cfg()  # resnet50, bf16
+    model = create_model(cfg, num_classes=0)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), (256, 128))
+
+    batch, scans = 512, 8
+
+    @jax.jit
+    def embed_many(p, bs, xs):
+        def body(carry, x):
+            e = model.apply(
+                {"params": p, "batch_stats": bs}, x, method=model.embed
+            )
+            return carry + e.sum(), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), xs)
+        return total
+
+    xs = jax.random.normal(
+        jax.random.PRNGKey(1), (scans, batch, 256, 128, 3), jnp.bfloat16
+    )
+    # compile + warmup
+    float(embed_many(params, batch_stats, xs))
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        s = float(embed_many(params, batch_stats, xs))
+    dt = (time.time() - t0) / reps
+    imgs_per_sec = batch * scans / dt
+
+    print(json.dumps({
+        "metric": "embeddings_per_sec",
+        "value": round(imgs_per_sec, 1),
+        "unit": "imgs/s",
+        "vs_baseline": round(imgs_per_sec / 10000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
