@@ -1,0 +1,158 @@
+"""Programmatic offline-inference API used by the CLIs.
+
+Flow parity: /root/reference/inference/create_embeddings.py (gallery index
+build) and get_similar.py (top-k retrieval with identical .npy outputs).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..engine.runner import load_model_for_test
+from ..metrics.r1_map import compute_distmat, l2_normalize_rows
+from ..models import create_model, init_model
+from ..models.convert import graft, load_reference_checkpoint
+from ..engine.checkpoint import restore_state
+from .utils import (
+    PID_EXTRACTORS,
+    calculate_centroids,
+    create_pid_path_index,
+    list_images_flat,
+    list_images_subfolders,
+    run_inference,
+)
+
+log = logging.getLogger(__name__)
+
+
+def load_inference_model(cfg):
+    """Build an inference model (no classifier) from MODEL.PRETRAIN_PATH —
+    accepts orbax dirs or reference torch checkpoints."""
+    import jax
+
+    model = create_model(cfg, num_classes=0)
+    h, w = cfg.INPUT.SIZE_TEST
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), (h, w))
+    path = cfg.MODEL.PRETRAIN_PATH
+    if not path:
+        raise ValueError("MODEL.PRETRAIN_PATH must point to a checkpoint")
+    if os.path.isdir(path):
+        # orbax checkpoint of a full TrainState: pull the model subtree
+        from ..data.datasets import ReidDataset  # noqa: F401 (doc only)
+        import orbax.checkpoint as ocp
+
+        raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        full = raw["params"]["model"]
+        stats = raw["batch_stats"]
+        keep = {k: v for k, v in full.items() if k != "fc_query"}
+        params = graft(params, keep)
+        batch_stats = graft(batch_stats, stats)
+    else:
+        converted = load_reference_checkpoint(path)
+        keep = {
+            k: v for k, v in converted["params"].items() if k != "fc_query"
+        }
+        params = graft(params, keep)
+        batch_stats = graft(batch_stats, converted["batch_stats"])
+    return model, params, batch_stats
+
+
+def build_embeddings(cfg, images_in_subfolders: bool, print_freq: int = 10,
+                     pid_from: str = "parent_dir"):
+    """create_embeddings flow; saves embeddings.npy + paths.npy."""
+    lister = (
+        list_images_subfolders if images_in_subfolders else list_images_flat
+    )
+    paths = lister(cfg.DATASETS.ROOT_DIR)
+    if not paths:
+        raise RuntimeError("Length of dataloader = 0")
+
+    model, params, batch_stats = load_inference_model(cfg)
+    log.info("Running inference")
+    embeddings, paths = run_inference(
+        model, cfg, params, batch_stats, paths, print_freq
+    )
+
+    if cfg.MODEL.USE_CENTROIDS:
+        log.info("Creating centroids")
+        index = create_pid_path_index(paths, PID_EXTRACTORS[pid_from])
+        embeddings, paths = calculate_centroids(embeddings, index)
+
+    save_dir = Path(cfg.OUTPUT_DIR)
+    save_dir.mkdir(exist_ok=True, parents=True)
+    log.info(f"Saving embeddings and index to {save_dir}")
+    np.save(save_dir / "embeddings.npy", embeddings)
+    np.save(save_dir / "paths.npy", paths)
+    return embeddings, paths
+
+
+def find_similar(cfg, gallery_data: str, images_in_subfolders: bool,
+                 normalize_features: bool, topk: int, print_freq: int = 10,
+                 use_pallas: Optional[bool] = None):
+    """get_similar flow; saves results.npy / query_embeddings.npy /
+    query_paths.npy with the reference's dict schema."""
+    lister = (
+        list_images_subfolders if images_in_subfolders else list_images_flat
+    )
+    paths = lister(cfg.DATASETS.ROOT_DIR)
+    model, params, batch_stats = load_inference_model(cfg)
+    log.info("Running inference")
+    embeddings, paths = run_inference(
+        model, cfg, params, batch_stats, paths, print_freq
+    )
+
+    load_path = Path(gallery_data)
+    embeddings_gallery = np.load(
+        load_path / "embeddings.npy", allow_pickle=True
+    )
+    paths_gallery = np.load(load_path / "paths.npy", allow_pickle=True)
+
+    if normalize_features:
+        embeddings_gallery = l2_normalize_rows(embeddings_gallery)
+        embeddings = l2_normalize_rows(embeddings)
+
+    log.info("Calculating distance and getting the most similar ids per query")
+    if use_pallas is None:
+        use_pallas = cfg.TPU.USE_PALLAS_RETRIEVAL
+    k = topk if topk else len(paths_gallery)
+    if use_pallas and topk:
+        from ..ops import topk_retrieval
+
+        dists, indices = topk_retrieval(
+            embeddings, embeddings_gallery, k, dist=cfg.SOLVER.DISTANCE_FUNC
+        )
+        out = {
+            qp: {
+                "indices": indices[i],
+                "paths": paths_gallery[indices[i]],
+                "distances": dists[i],
+            }
+            for i, qp in enumerate(paths)
+        }
+    else:
+        distmat = compute_distmat(
+            embeddings, embeddings_gallery, cfg.SOLVER.DISTANCE_FUNC
+        )
+        indices = np.argsort(distmat, axis=1)
+        indices = indices[:, :topk] if topk else indices
+        out = {
+            qp: {
+                "indices": indices[i],
+                "paths": paths_gallery[indices[i]],
+                "distances": distmat[i, indices[i]],
+            }
+            for i, qp in enumerate(paths)
+        }
+
+    save_dir = Path(cfg.OUTPUT_DIR)
+    save_dir.mkdir(exist_ok=True, parents=True)
+    log.info(f"Saving results to {save_dir}")
+    np.save(save_dir / "results.npy", out)
+    np.save(save_dir / "query_embeddings.npy", embeddings)
+    np.save(save_dir / "query_paths.npy", paths)
+    return out

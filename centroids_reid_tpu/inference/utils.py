@@ -1,0 +1,120 @@
+"""Offline-inference helpers: folder scanning, batched embedding, centroids.
+
+Mirrors /root/reference/inference/inference_utils.py: flat-folder and
+subfolder image listings, ``bn(backbone(x))`` embeddings
+(:104-113), pid->paths index via a configurable extractor (:134-144), and
+group-mean centroid index construction (:147-159). Compute is a jitted
+static-batch program; the tail batch is padded and masked.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Callable, Dict, List, Tuple
+
+import jax
+import numpy as np
+
+from ..data.loader import EvalLoader
+from ..data.datasets import Record
+from ..engine.evaluate import make_embed_fn
+
+log = logging.getLogger(__name__)
+
+IMG_EXTENSIONS = (
+    ".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif", ".tiff", ".webp",
+)
+
+
+def is_image_file(name: str) -> bool:
+    return name.lower().endswith(IMG_EXTENSIONS)
+
+
+def list_images_flat(path: str) -> List[str]:
+    """Images directly under ``path`` (inference_utils.py:37-48)."""
+    if os.path.isdir(path):
+        return [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if is_image_file(f)
+        ]
+    if is_image_file(path):
+        return [path]
+    raise RuntimeError(
+        f"{path} is neither a valid image file nor a folder containing images"
+    )
+
+
+def list_images_subfolders(path: str) -> List[str]:
+    """Images under class subfolders, ImageFolder-style ordering."""
+    out = []
+    for cls in sorted(os.listdir(path)):
+        sub = os.path.join(path, cls)
+        if not os.path.isdir(sub):
+            continue
+        out.extend(
+            os.path.join(sub, f)
+            for f in sorted(os.listdir(sub))
+            if is_image_file(f)
+        )
+    if not out:
+        raise RuntimeError(f"no images found under subfolders of {path}")
+    return out
+
+
+# pid extractors (create_embeddings.py:29-34)
+def pid_from_filename(path: str) -> str:
+    """/dir/product001_04.jpg -> product001"""
+    return os.path.basename(path).rsplit(".", 1)[0].rsplit("_", 1)[0]
+
+
+def pid_from_parent_dir(path: str) -> str:
+    """/root/001/image_04.jpg -> 001"""
+    return Path(path).parent.name
+
+
+PID_EXTRACTORS: Dict[str, Callable[[str], str]] = {
+    "parent_dir": pid_from_parent_dir,
+    "filename": pid_from_filename,
+}
+
+
+def run_inference(
+    model, cfg, params_model, batch_stats, image_paths: List[str],
+    print_freq: int = 10,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Embed a list of images; returns (embeddings [N,D] fp32, paths [N])."""
+    records = [Record(p, 0, 0, i) for i, p in enumerate(image_paths)]
+    loader = EvalLoader(records, cfg)
+    embed = make_embed_fn(model, cfg)
+    embs = []
+    for pos, batch in enumerate(loader):
+        if pos % print_freq == 0:
+            log.info(
+                f"Number of processed images: {pos * loader.batch_size}"
+            )
+        e = np.asarray(embed(params_model, batch_stats, batch["images"]))
+        embs.append(e[batch["valid"]])
+    return np.concatenate(embs, axis=0), np.asarray(image_paths)
+
+
+def create_pid_path_index(
+    paths: List[str], func: Callable[[str], str]
+) -> Dict[str, list]:
+    index: Dict[str, list] = {}
+    for idx, path in enumerate(paths):
+        index.setdefault(func(path), []).append(idx)
+    return index
+
+
+def calculate_centroids(
+    embeddings: np.ndarray, pid_path_index: Dict[str, list]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Group-mean centroids; returns (centroids, pid strings)."""
+    pids, cents = [], []
+    for pid, indices in pid_path_index.items():
+        cents.append(embeddings[np.asarray(indices)].mean(axis=0))
+        pids.append(pid)
+    return np.vstack(cents), np.asarray(pids, dtype=np.str_)

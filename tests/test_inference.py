@@ -1,0 +1,192 @@
+"""Offline inference CLI flow tests: index build + retrieval + checkpoints."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from centroids_reid_tpu.config import get_default_cfg
+from centroids_reid_tpu.engine import CheckpointManager, create_train_state
+from centroids_reid_tpu.inference import build_embeddings, find_similar
+from centroids_reid_tpu.models import create_model
+
+
+def _cfg(tmp_path):
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "resnet18"
+    cfg.USE_MIXED_PRECISION = False
+    cfg.INPUT.SIZE_TEST = [32, 16]
+    cfg.TEST.IMS_PER_BATCH = 8
+    cfg.TPU.NUM_GROUPS = 1
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    return cfg
+
+
+@pytest.fixture()
+def ckpt_dir(tmp_path):
+    cfg = _cfg(tmp_path)
+    model = create_model(cfg, num_classes=4)
+    state, _ = create_train_state(cfg, model, 4, seed=0)
+    mgr = CheckpointManager(str(tmp_path / "logs"))
+    mgr.save_periodic(0, state, cfg)
+    return mgr.latest_periodic()
+
+
+@pytest.fixture()
+def image_dirs(tmp_path):
+    rng = np.random.RandomState(0)
+    gallery = tmp_path / "gallery"
+    query = tmp_path / "query"
+    gallery.mkdir()
+    query.mkdir()
+    arrays = {}
+    for pid in ("prodA", "prodB", "prodC"):
+        for i in range(4):
+            arr = rng.randint(0, 255, (32, 16, 3), np.uint8)
+            name = f"{pid}_{i:02d}.jpg"
+            Image.fromarray(arr).save(gallery / name)
+            arrays[name] = arr
+    # queries are byte-identical copies of three gallery images
+    for name in ("prodA_01.jpg", "prodB_02.jpg", "prodC_00.jpg"):
+        Image.fromarray(arrays[name]).save(query / f"q_{name}")
+    return str(gallery), str(query)
+
+
+def test_create_embeddings_flat(ckpt_dir, image_dirs, tmp_path):
+    gallery, _ = image_dirs
+    cfg = _cfg(tmp_path)
+    cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg.DATASETS.ROOT_DIR = gallery
+    emb, paths = build_embeddings(cfg, images_in_subfolders=False)
+    assert emb.shape == (12, 512)
+    assert len(paths) == 12
+    assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "embeddings.npy"))
+    assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "paths.npy"))
+
+
+def test_create_embeddings_centroids_by_filename(ckpt_dir, image_dirs, tmp_path):
+    gallery, _ = image_dirs
+    cfg = _cfg(tmp_path)
+    cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg.DATASETS.ROOT_DIR = gallery
+    cfg.MODEL.USE_CENTROIDS = True
+    emb, paths = build_embeddings(
+        cfg, images_in_subfolders=False, pid_from="filename"
+    )
+    assert emb.shape == (3, 512)
+    assert sorted(paths.tolist()) == ["prodA", "prodB", "prodC"]
+
+
+def test_get_similar_self_retrieval(ckpt_dir, image_dirs, tmp_path):
+    gallery, query = image_dirs
+    cfg = _cfg(tmp_path)
+    cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg.DATASETS.ROOT_DIR = gallery
+    build_embeddings(cfg, images_in_subfolders=False)
+
+    cfg2 = _cfg(tmp_path)
+    cfg2.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg2.DATASETS.ROOT_DIR = query
+    cfg2.OUTPUT_DIR = str(tmp_path / "out2")
+    out = find_similar(
+        cfg2, gallery_data=cfg.OUTPUT_DIR, images_in_subfolders=False,
+        normalize_features=True, topk=3, use_pallas=False,
+    )
+    assert len(out) == 3
+    for qpath, res in out.items():
+        assert set(res) == {"indices", "paths", "distances"}
+        expected = os.path.basename(qpath)[2:]  # strip "q_" prefix
+        assert os.path.basename(res["paths"][0]) == expected
+        assert res["distances"][0] == pytest.approx(0.0, abs=1e-3)
+        assert (np.diff(res["distances"]) >= -1e-6).all()
+    # saved artefacts with reference schema
+    saved = np.load(
+        os.path.join(cfg2.OUTPUT_DIR, "results.npy"), allow_pickle=True
+    ).item()
+    assert set(saved) == set(out)
+
+
+def test_load_reference_torch_checkpoint(image_dirs, tmp_path):
+    """A Lightning-style torch checkpoint round-trips through the converter
+    and produces identical embeddings to the native params."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    cfg = _cfg(tmp_path)
+    model = create_model(cfg, num_classes=4)
+    state, _ = create_train_state(cfg, model, 4, seed=1)
+    params_model = jax.tree.map(np.asarray, state.params["model"])
+    batch_stats = jax.tree.map(np.asarray, state.batch_stats)
+
+    # Build the torch state_dict with reference naming (bases.py:70-87).
+    sd = {}
+
+    def walk(prefix, p_node, s_node):
+        for k, v in p_node.items():
+            name = k.replace("layer", "layer").replace("_", ".", 1) if k.startswith("layer") else k
+            if isinstance(v, dict):
+                sub_s = s_node.get(k, {}) if isinstance(s_node, dict) else {}
+                if k == "downsample_conv":
+                    walk(prefix + "downsample.0.", v, sub_s)
+                elif k == "downsample_bn":
+                    walk(prefix + "downsample.1.", v, sub_s)
+                else:
+                    walk(prefix + name + ".", v, sub_s)
+            else:
+                if k == "kernel":
+                    if v.ndim == 4:
+                        sd[prefix + "weight"] = torch.from_numpy(
+                            v.transpose(3, 2, 0, 1).copy()
+                        )
+                    else:
+                        sd[prefix + "weight"] = torch.from_numpy(v.T.copy())
+                elif k == "scale":
+                    sd[prefix + "weight"] = torch.from_numpy(v.copy())
+                else:
+                    sd[prefix + "bias"] = torch.from_numpy(v.copy())
+
+    walk("backbone.base.", params_model["backbone"], batch_stats["backbone"])
+
+    def put_stats(prefix, node):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                name = k
+                if k == "downsample_bn":
+                    name = "downsample.1"
+                elif k.startswith("layer"):
+                    name = k.replace("_", ".", 1)
+                put_stats(prefix + name + ".", v)
+            elif k == "mean":
+                sd[prefix + "running_mean"] = torch.from_numpy(v.copy())
+            elif k == "var":
+                sd[prefix + "running_var"] = torch.from_numpy(v.copy())
+
+    put_stats("backbone.base.", batch_stats["backbone"])
+    sd["bn.weight"] = torch.from_numpy(params_model["bnneck"]["scale"].copy())
+    sd["bn.bias"] = torch.from_numpy(params_model["bnneck"]["bias"].copy())
+    sd["bn.running_mean"] = torch.from_numpy(batch_stats["bnneck"]["mean"].copy())
+    sd["bn.running_var"] = torch.from_numpy(batch_stats["bnneck"]["var"].copy())
+    sd["fc_query.weight"] = torch.from_numpy(
+        params_model["fc_query"]["kernel"].T.copy()
+    )
+
+    ckpt_path = str(tmp_path / "reference.ckpt")
+    torch.save({"state_dict": sd}, ckpt_path)
+
+    from centroids_reid_tpu.inference import load_inference_model
+
+    cfg.MODEL.PRETRAIN_PATH = ckpt_path
+    model2, params2, stats2 = load_inference_model(cfg)
+
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 32, 16, 3), jnp.float32)
+    e1 = model.apply(
+        {"params": params_model, "batch_stats": batch_stats}, x,
+        method=model.embed,
+    )
+    e2 = model2.apply(
+        {"params": params2, "batch_stats": stats2}, x, method=model2.embed
+    )
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
