@@ -56,8 +56,9 @@ def extract_embeddings(
 
 
 def compute_reid_metrics(
-    cfg, embeddings, pids, camids, num_query: int, use_centroids: bool
-) -> ReidMetrics:
+    cfg, embeddings, pids, camids, num_query: int, use_centroids: bool,
+    return_evaluator: bool = False,
+):
     """get_val_metrics equivalent (bases.py:264-297 + 307-314)."""
     respect = bool(cfg.MODEL.KEEP_CAMID_CENTROIDS and use_centroids)
     if use_centroids:
@@ -71,7 +72,12 @@ def compute_reid_metrics(
         feat_norm=cfg.TEST.FEAT_NORM,
         dist_name=cfg.SOLVER.DISTANCE_FUNC,
     )
-    return evaluator.compute(embeddings, pids, camids, respect_camids=respect)
+    metrics = evaluator.compute(
+        embeddings, pids, camids, respect_camids=respect
+    )
+    if return_evaluator:
+        return metrics, evaluator
+    return metrics
 
 
 def run_validation(
@@ -82,9 +88,31 @@ def run_validation(
     emb, pids, camids = extract_embeddings(
         model, cfg, params_model, batch_stats, loader
     )
-    m = compute_reid_metrics(
-        cfg, emb, pids, camids, dataset.num_query, use_centroids
+    m, evaluator = compute_reid_metrics(
+        cfg, emb, pids, camids, dataset.num_query, use_centroids,
+        return_evaluator=True,
     )
+
+    if cfg.TEST.VISUALIZE == "yes":
+        import os
+
+        from ..metrics.visrank import visualize_ranked_results
+
+        print("Start visualization...")
+        visualize_ranked_results(
+            evaluator.last_distmat,
+            dataset.query,
+            dataset.gallery,
+            save_dir=os.path.join(cfg.OUTPUT_DIR or ".", "visrank"),
+            width=cfg.INPUT.SIZE_TEST[1],
+            height=cfg.INPUT.SIZE_TEST[0],
+            topk=cfg.TEST.VISUALIZE_TOPK,
+            use_centroids=use_centroids,
+            respect_camids=bool(
+                cfg.MODEL.KEEP_CAMID_CENTROIDS and use_centroids
+            ),
+            max_number=cfg.TEST.VISUALIZE_MAX_NUMBER,
+        )
     log = {"mAP": m.mAP}
     for val, kk in zip(m.all_topk, K_LIST):
         print("top-k, Rank-{:<3}:{:.1%}".format(kk, float(val)))
