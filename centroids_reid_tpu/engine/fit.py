@@ -25,6 +25,7 @@ from ..models import create_model
 from ..models.convert import load_pretrained_backbone, graft
 from ..parallel import make_data_mesh, replicate, shard_batch
 from ..solver import lr_for_epoch, set_learning_rate
+from ..utils import annotate, profile_trace
 from .checkpoint import CheckpointManager, epoch_of_checkpoint, restore_state
 from .evaluate import run_validation
 from .logging import MetricsLogger
@@ -106,25 +107,31 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
         agg: Dict[str, list] = {}
         t0 = time.time()
         n_steps = 0
-        for t, batch in enumerate(loader.epoch(epoch)):
-            images = jnp.asarray(batch["images"])
-            is_real = jnp.asarray(batch["is_real"])
-            x = augment_batch(
-                images, is_real, jax.random.fold_in(epoch_key, t),
-                size_hw, cfg.INPUT.PADDING, mean, std,
-                cfg.INPUT.PROB, cfg.INPUT.RE_PROB, dtype=dtype,
-            )
-            device_batch = {
-                "images": x,
-                "labels": jnp.asarray(batch["labels"]),
-                "is_real": is_real,
-            }
-            if mesh is not None:
-                device_batch = shard_batch(mesh, device_batch)
-            state, step_metrics = train_step(state, device_batch)
-            n_steps += 1
-            for k, v in step_metrics.items():
-                agg.setdefault(k, []).append(v)
+        # one profiler trace of the first trained epoch when TPU.PROFILE
+        with profile_trace(
+            log_dir, enabled=cfg.TPU.PROFILE and epoch == start_epoch
+        ):
+            for t, batch in enumerate(loader.epoch(epoch)):
+                with annotate("augment_dispatch"):
+                    images = jnp.asarray(batch["images"])
+                    is_real = jnp.asarray(batch["is_real"])
+                    x = augment_batch(
+                        images, is_real, jax.random.fold_in(epoch_key, t),
+                        size_hw, cfg.INPUT.PADDING, mean, std,
+                        cfg.INPUT.PROB, cfg.INPUT.RE_PROB, dtype=dtype,
+                    )
+                device_batch = {
+                    "images": x,
+                    "labels": jnp.asarray(batch["labels"]),
+                    "is_real": is_real,
+                }
+                if mesh is not None:
+                    device_batch = shard_batch(mesh, device_batch)
+                with annotate("train_step_dispatch"):
+                    state, step_metrics = train_step(state, device_batch)
+                n_steps += 1
+                for k, v in step_metrics.items():
+                    agg.setdefault(k, []).append(v)
 
         # epoch end: one host sync for all step metrics
         epoch_metrics = {

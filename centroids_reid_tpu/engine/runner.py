@@ -81,10 +81,12 @@ def run_main(cfg, mode: str, logger_save_dir: str) -> Dict[str, float]:
     )
     out: Dict[str, float] = {}
     if cfg.REPRODUCIBLE:
+        from ..utils import seed_everything
+
         base = cfg.REPRODUCIBLE_SEED
         for seed in range(base, base + cfg.REPRODUCIBLE_NUM_RUNS):
             cfg.REPRODUCIBLE_SEED = seed
-            np.random.seed(seed)
+            seed_everything(seed)
             out = run_single(cfg, mode, logger_save_dir)
     else:
         for _ in range(cfg.REPRODUCIBLE_NUM_RUNS):

@@ -20,4 +20,6 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "sharded_topk",
 ]
+from .retrieval import sharded_topk

@@ -1,0 +1,91 @@
+"""Gallery-sharded retrieval over a device mesh.
+
+The reference handles big galleries by chunking the distance matrix on the
+host (utils/reid_metric.py:93-110). The TPU-native scale-out: shard gallery
+rows over the mesh's ``gallery`` axis, compute a local top-k per device
+(MXU matmul + lax.top_k), all-gather the n_devices*k candidates per query
+(k*Q floats — tiny, rides ICI), and merge. No Q x G tensor ever exists,
+on any chip.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+# the experimental entry point is used deliberately: it accepts
+# check_rep=False, which the scan-carry inside _topk_xla needs (the carry
+# is unvarying over the gallery axis until the first merge step)
+from jax.experimental.shard_map import shard_map  # noqa: F401
+
+from ..ops.retrieval import _topk_xla
+from .mesh import GALLERY_AXIS
+
+
+def sharded_topk(qf, gf, k: int, mesh: Mesh, dist: str = "euclidean"):
+    """Top-k over a gallery sharded on ``mesh``'s gallery axis.
+
+    qf [Q, D] replicated; gf [G, D] sharded on axis 0 (G padded to a
+    multiple of the axis size). Returns (distances [Q, k], indices [Q, k])
+    with the same distance flavour as ops.retrieval.topk_retrieval.
+    """
+    qf = jnp.asarray(qf)
+    gf = jnp.asarray(gf)
+    n = mesh.shape[GALLERY_AXIS]
+    g = gf.shape[0]
+    k_eff = min(k, g)
+
+    pad = (-g) % n
+    if pad:
+        gf = jnp.concatenate(
+            [gf, jnp.zeros((pad, gf.shape[1]), gf.dtype)], axis=0
+        )
+    shard_rows = gf.shape[0] // n
+
+    if dist == "cosine":
+        qn = jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-12)
+        gnorm = jnp.maximum(jnp.linalg.norm(gf, axis=1, keepdims=True), 1e-12)
+        qf = qf / qn
+        gf = gf / gnorm
+    elif dist != "euclidean":
+        raise ValueError(f"Unknown distance {dist!r}")
+
+    def local(qf_l, gf_l):
+        gn = jnp.sum(
+            gf_l.astype(jnp.float32) * gf_l.astype(jnp.float32), axis=1
+        )[None, :]
+        if pad:  # padded rows must never win
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, gn.shape, 1
+            ) + jax.lax.axis_index(GALLERY_AXIS) * shard_rows
+            gn = jnp.where(row_ids < g, gn, jnp.inf)
+        if dist == "cosine":
+            gn = jnp.where(jnp.isinf(gn), gn, 1.0)
+        val, idx = _topk_xla(qf_l, gf_l, gn, k_eff)
+        idx = idx + jax.lax.axis_index(GALLERY_AXIS) * shard_rows
+        allv = jax.lax.all_gather(val, GALLERY_AXIS, axis=1, tiled=True)
+        alli = jax.lax.all_gather(idx, GALLERY_AXIS, axis=1, tiled=True)
+        nv, sel = jax.lax.top_k(-allv, k_eff)
+        return -nv, jnp.take_along_axis(alli, sel, axis=1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(GALLERY_AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    qf_d = jax.device_put(qf, NamedSharding(mesh, P()))
+    gf_d = jax.device_put(gf, NamedSharding(mesh, P(GALLERY_AXIS)))
+    val, idx = jax.jit(fn)(qf_d, gf_d)
+
+    if dist == "cosine":
+        sim = (1.0 - val) / 2.0
+        val = jnp.clip(jnp.abs(1.0 - sim), min=1e-12)
+    else:
+        qn2 = jnp.sum(
+            qf.astype(jnp.float32) * qf.astype(jnp.float32), axis=1
+        )
+        val = val + qn2[:, None]
+    return np.asarray(val), np.asarray(idx)
