@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Retrieval kernel micro-benchmark: fused distance+top-k at scale.
+
+Measures the north-star scenario (BASELINE.md): 100k-gallery centroid
+query, Q=128, D=2048, top-10 — Pallas bf16, Pallas-approx, and exact fp32
+XLA paths. Gallery stays resident on device (the realistic serving setup).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from centroids_reid_tpu.ops.retrieval import _G_TILE, _topk_pallas, _topk_xla
+
+
+def bench(fn, qf, gf, k, reps=20):
+    d = gf.shape[1]
+    gn = jnp.sum(gf.astype(jnp.float32) ** 2, axis=1)[None, :]
+    pad = (-gf.shape[0]) % _G_TILE
+    if pad:
+        gf = jnp.concatenate([gf, jnp.zeros((pad, d), gf.dtype)])
+        gn = jnp.concatenate([gn, jnp.full((1, pad), jnp.inf)], axis=1)
+    v, i = fn(qf, gf, gn, k)
+    jax.block_until_ready((v, i))
+    t0 = time.time()
+    for _ in range(reps):
+        v, i = fn(qf, gf, gn, k)
+    float(v.sum())  # force completion through the tunnel
+    return (time.time() - t0) / reps
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--gallery", type=int, default=100_000)
+    p.add_argument("--queries", type=int, default=128)
+    p.add_argument("--dim", type=int, default=2048)
+    p.add_argument("--k", type=int, default=10)
+    args = p.parse_args()
+
+    rng = np.random.RandomState(0)
+    gf = jnp.asarray(rng.randn(args.gallery, args.dim), jnp.float32)
+    qf = jnp.asarray(rng.randn(args.queries, args.dim), jnp.float32)
+
+    results = {
+        "pallas_bf16_ms": bench(
+            _topk_pallas, qf.astype(jnp.bfloat16), gf.astype(jnp.bfloat16),
+            args.k,
+        ) * 1e3,
+        "xla_fp32_ms": bench(_topk_xla, qf, gf, args.k) * 1e3,
+    }
+    results.update(
+        gallery=args.gallery, queries=args.queries, dim=args.dim, k=args.k
+    )
+    print(json.dumps({k: round(v, 3) if isinstance(v, float) else v
+                      for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
