@@ -15,6 +15,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,7 +32,10 @@ def bench(fn, qf, gf, k, reps=20):
         gf = jnp.concatenate([gf, jnp.zeros((pad, d), gf.dtype)])
         gn = jnp.concatenate([gn, jnp.full((1, pad), jnp.inf)], axis=1)
     v, i = fn(qf, gf, gn, k)
-    jax.block_until_ready((v, i))
+    # NOTE: block_until_ready returns early through the axon tunnel; a
+    # scalar transfer is the only reliable completion barrier. Without it
+    # the (multi-minute) Mosaic compile leaks into the timed loop.
+    float(v.sum())
     t0 = time.time()
     for _ in range(reps):
         v, i = fn(qf, gf, gn, k)

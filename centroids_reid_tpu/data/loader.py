@@ -49,10 +49,20 @@ class TrainLoader:
     """
 
     def __init__(self, dataset: ReidDataset, cfg, num_groups: int,
-                 prefetch: int = 2):
+                 prefetch: int = 2, group_offset: int = 0,
+                 local_groups: Optional[int] = None):
+        """``num_groups`` is the GLOBAL group count (the sampling plan is
+        identical on every host); this loader assembles only groups
+        [group_offset, group_offset + local_groups) — the multi-host
+        equivalent of the reference's rank-sharded sampler
+        (distributed_pids_sampler.py:61-71)."""
         self.dataset = dataset
         self.cfg = cfg
         self.num_groups = num_groups
+        self.group_offset = group_offset
+        self.local_groups = (
+            local_groups if local_groups is not None else num_groups
+        )
         self.batch_pids = cfg.SOLVER.IMS_PER_BATCH
         self.num_instances = cfg.DATALOADER.NUM_INSTANCE
         self.use_resampling = cfg.DATALOADER.USE_RESAMPLING
@@ -74,17 +84,18 @@ class TrainLoader:
         return self.plan_for_epoch(epoch).num_steps
 
     def _assemble(self, plan: EpochPlan, t: int) -> dict:
-        g, p, k = plan.sample_idx.shape[1:]
+        _, p, k = plan.sample_idx.shape[1:]
+        g0, gl = self.group_offset, self.local_groups
         h, w = self.store.size_hw
-        images = np.zeros((g, p * k, h, w, 3), np.uint8)
-        labels = np.zeros((g, p * k), np.int32)
-        camids = np.zeros((g, p * k), np.int32)
-        is_real = plan.is_real[t].reshape(g, p * k).copy()
-        for gi in range(g):
+        images = np.zeros((gl, p * k, h, w, 3), np.uint8)
+        labels = np.zeros((gl, p * k), np.int32)
+        camids = np.zeros((gl, p * k), np.int32)
+        is_real = plan.is_real[t, g0:g0 + gl].reshape(gl, p * k).copy()
+        for gi in range(gl):
             flat = 0
             for pi in range(p):
                 for ki in range(k):
-                    rec = self._records[plan.sample_idx[t, gi, pi, ki]]
+                    rec = self._records[plan.sample_idx[t, g0 + gi, pi, ki]]
                     labels[gi, flat] = rec.pid
                     camids[gi, flat] = rec.camid
                     if is_real[gi, flat]:

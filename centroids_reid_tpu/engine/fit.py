@@ -90,8 +90,16 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
         state = replicate(mesh, state)
 
     logger = MetricsLogger(log_dir, "train")
-    loader = TrainLoader(dataset, cfg, num_groups=g,
-                         prefetch=cfg.TPU.PREFETCH_DEPTH)
+    # multi-host: every process computes the same global plan and assembles
+    # only the groups its local devices own
+    n_proc = jax.process_count()
+    g_local = g // n_proc
+    loader = TrainLoader(
+        dataset, cfg, num_groups=g,
+        prefetch=cfg.TPU.PREFETCH_DEPTH,
+        group_offset=jax.process_index() * g_local,
+        local_groups=g_local,
+    )
     mean = tuple(cfg.INPUT.PIXEL_MEAN)
     std = tuple(cfg.INPUT.PIXEL_STD)
     size_hw = tuple(cfg.INPUT.SIZE_TRAIN)
@@ -102,7 +110,10 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
     for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS):
         lr = lr_for_epoch(epoch, cfg)
         set_learning_rate(state.opt_state, lr)
-        epoch_key = jax.random.fold_in(base_key, epoch)
+        # fold the process index in so hosts draw distinct augmentations
+        epoch_key = jax.random.fold_in(
+            jax.random.fold_in(base_key, epoch), jax.process_index()
+        )
 
         agg: Dict[str, list] = {}
         t0 = time.time()

@@ -49,9 +49,19 @@ def gallery_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a batch pytree (leading dim = groups) sharded over data axis."""
+    """Place a batch pytree (leading dim = groups) sharded over data axis.
+
+    Single-host: a plain device_put. Multi-host: each process holds only
+    its local groups (see TrainLoader group_offset/local_groups) and the
+    global array is assembled from the per-process shards.
+    """
     sh = group_sharded(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch,
+    )
 
 
 def replicate(mesh: Mesh, tree):
