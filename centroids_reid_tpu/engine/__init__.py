@@ -1,6 +1,7 @@
 from .checkpoint import CheckpointManager, epoch_of_checkpoint, restore_state
 from .evaluate import (
     compute_reid_metrics,
+    evaluate_on_train,
     extract_embeddings,
     make_embed_fn,
     run_validation,
@@ -16,6 +17,7 @@ __all__ = [
     "epoch_of_checkpoint",
     "restore_state",
     "compute_reid_metrics",
+    "evaluate_on_train",
     "extract_embeddings",
     "make_embed_fn",
     "run_validation",

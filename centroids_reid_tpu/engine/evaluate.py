@@ -80,6 +80,36 @@ def compute_reid_metrics(
     return metrics
 
 
+def evaluate_on_train(
+    cfg, model, params_model, batch_stats, dataset, use_centroids: bool = True
+) -> Dict[str, float]:
+    """Train-set retrieval diagnostic ("Train mAP").
+
+    The reference's ``eval_on_train`` (modelling/bases.py:320-357) is dead
+    code — it calls ``R1_mAP(self.hparams.num_query)`` with the wrong
+    signature (bases.py:342, noted in SURVEY.md §7) and skips the BNNeck.
+    This is the working equivalent: every train image queries the train set
+    (as raw images, or per-pid centroids when ``use_centroids``), with the
+    usual same-pid+camid removal.
+    """
+    loader = EvalLoader(dataset.train, cfg)
+    emb, pids, camids = extract_embeddings(
+        model, cfg, params_model, batch_stats, loader
+    )
+    embeddings = np.concatenate([emb, emb], axis=0)
+    pids2 = np.concatenate([pids, pids])
+    camids2 = np.concatenate([camids, camids])
+    m = compute_reid_metrics(
+        cfg, embeddings, pids2, camids2, len(emb), use_centroids
+    )
+    log = {"Train mAP": m.mAP}
+    for val, kk in zip(m.all_topk, K_LIST):
+        print("Train top-k, Rank-{:<3}:{:.1%}".format(kk, float(val)))
+        log[f"Train Top-{kk}"] = float(val)
+    print(f"Train mAP: {m.mAP}")
+    return log
+
+
 def run_validation(
     cfg, model, params_model, batch_stats, dataset, use_centroids: bool
 ) -> Dict[str, float]:
