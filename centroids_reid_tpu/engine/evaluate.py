@@ -36,18 +36,67 @@ def make_embed_fn(model, cfg):
     return embed
 
 
+def make_embed_many_fn(model, cfg):
+    """Scanned variant: embeds [S, B, H, W, 3] in ONE dispatch.
+
+    The device tunnel has tens of ms of fixed latency per dispatched
+    computation; scanning S loader batches per call amortises it S-fold
+    during validation."""
+    mean = tuple(cfg.INPUT.PIXEL_MEAN)
+    std = tuple(cfg.INPUT.PIXEL_STD)
+    dtype = jnp.bfloat16 if cfg.USE_MIXED_PRECISION else jnp.float32
+
+    @jax.jit
+    def embed_many(params_model, batch_stats, imgs_u8):
+        def body(_, x_u8):
+            x = normalize_batch(x_u8, mean, std, dtype=dtype)
+            e = model.apply(
+                {"params": params_model, "batch_stats": batch_stats},
+                x,
+                method=model.embed,
+            )
+            return None, e
+
+        _, es = jax.lax.scan(body, None, imgs_u8)
+        return es  # [S, B, D]
+
+    return embed_many
+
+
+_EVAL_SCAN_BATCHES = 8
+
+
 def extract_embeddings(
     model, cfg, params_model, batch_stats, loader: EvalLoader
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (embeddings [N,D] fp32, pids [N], camids [N])."""
-    embed = make_embed_fn(model, cfg)
+    embed_many = make_embed_many_fn(model, cfg)
     embs, pids, camids = [], [], []
+    chunk: list = []
+
+    def flush():
+        if not chunk:
+            return
+        s = len(chunk)
+        imgs = np.stack([b["images"] for b in chunk])
+        if s < _EVAL_SCAN_BATCHES:  # pad to the static scan length
+            imgs = np.concatenate(
+                [imgs, np.zeros((_EVAL_SCAN_BATCHES - s,) + imgs.shape[1:],
+                                imgs.dtype)]
+            )
+        es = np.asarray(embed_many(params_model, batch_stats, imgs))
+        for i, b in enumerate(chunk):
+            v = b["valid"]
+            embs.append(es[i][v])
+            pids.append(b["pids"][v])
+            camids.append(b["camids"][v])
+        chunk.clear()
+
     for batch in loader:
-        e = np.asarray(embed(params_model, batch_stats, batch["images"]))
-        v = batch["valid"]
-        embs.append(e[v])
-        pids.append(batch["pids"][v])
-        camids.append(batch["camids"][v])
+        chunk.append(batch)
+        if len(chunk) == _EVAL_SCAN_BATCHES:
+            flush()
+    flush()
     return (
         np.concatenate(embs, axis=0),
         np.concatenate(pids, axis=0),
