@@ -133,9 +133,10 @@ def load_market1501(root: str) -> ReidDataset:
 
 
 def load_dukemtmc(root: str) -> ReidDataset:
-    base = osp.join(root, "dukemtmc-reid", "DukeMTMC-reID")
+    # reference layout: ROOT_DIR/DukeMTMC-reID/* (dukemtmcreid.py:44-47)
+    base = osp.join(root, "DukeMTMC-reID")
     if not osp.isdir(base):
-        base = osp.join(root, "DukeMTMC-reID")
+        base = osp.join(root, "dukemtmc-reid", "DukeMTMC-reID")
     train_dir = osp.join(base, "bounding_box_train")
     query_dir = osp.join(base, "query")
     gallery_dir = osp.join(base, "bounding_box_test")

@@ -89,6 +89,11 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
     if mesh is not None:
         state = replicate(mesh, state)
 
+    if cfg.DATALOADER.SAMPLER != "random_identity":
+        raise NotImplementedError(
+            f"Unknown sampler {cfg.DATALOADER.SAMPLER!r}; only"
+            " 'random_identity' exists (reference samplers/__init__.py:15-18)"
+        )
     logger = MetricsLogger(log_dir, "train")
     # multi-host: every process computes the same global plan and assembles
     # only the groups its local devices own
