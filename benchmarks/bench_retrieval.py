@@ -55,8 +55,15 @@ def main():
     gf = jnp.asarray(rng.randn(args.gallery, args.dim), jnp.float32)
     qf = jnp.asarray(rng.randn(args.queries, args.dim), jnp.float32)
 
+    import functools
+
+    pallas_packed = functools.partial(_topk_pallas, packed=True)
     results = {
-        "pallas_bf16_ms": bench(
+        "pallas_bf16_packed_ms": bench(
+            pallas_packed, qf.astype(jnp.bfloat16), gf.astype(jnp.bfloat16),
+            args.k,
+        ) * 1e3,
+        "pallas_bf16_exact_merge_ms": bench(
             _topk_pallas, qf.astype(jnp.bfloat16), gf.astype(jnp.bfloat16),
             args.k,
         ) * 1e3,

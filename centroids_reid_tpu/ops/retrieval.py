@@ -59,7 +59,70 @@ def _merge_topk(best_val, best_idx, scores, idx_base, k):
     )
 
 
-def _retrieval_kernel(q_ref, g_ref, gn_ref, val_ref, idx_ref, *, k):
+def _mono16(x_f32):
+    """f32 -> int32 in [-32768, 32767], monotone under bf16 truncation.
+
+    Standard IEEE trick on the bf16 bit pattern: negative floats get all
+    bits flipped, non-negatives get the sign bit set, then the unsigned
+    16-bit order matches the float order; subtract 0x8000 to center so the
+    packed (key << 16 | col) comparison stays within int32.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pltpu.bitcast(x_f32.astype(jnp.bfloat16), jnp.int16)
+    b = b.astype(jnp.int32) & 0xFFFF
+    neg = (b & 0x8000) != 0
+    u = jnp.where(neg, 0xFFFF - b, b | 0x8000)
+    return u - 0x8000
+
+
+def _unpack_value(u_centered):
+    """Inverse of _mono16: int32 -> f32 (bf16-exact)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    u = u_centered + 0x8000
+    b = jnp.where(u >= 0x8000, u - 0x8000, 0xFFFF - u)
+    b2d = b.reshape(-1, 1).astype(jnp.int16)  # TPU bitcast needs >= 2D
+    out = pltpu.bitcast(b2d, jnp.bfloat16).astype(jnp.float32)
+    return out.reshape(b.shape)
+
+
+def _merge_topk_packed(best_val, best_idx, scores, idx_base, k):
+    """Packed-key merge: one big reduce per selection pass.
+
+    Keys are ``mono16(score) << 16 | buffer_column`` — unique per column, so
+    the min is unique (tie-safe: equal scores order by column, with previous
+    best entries in columns 0..K-1 winning ties against tile entries, which
+    preserves first-occurrence order across tiles). Selection order is at
+    bf16 score resolution; the wrapper re-scores the winners exactly.
+    """
+    qt, gt = scores.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (qt, k + gt), 1)
+    buf_vals = jnp.concatenate([best_val, scores], axis=1)
+    keys = (_mono16(buf_vals) << 16) | cols
+    small_cols = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
+    tile_idx0 = idx_base - k  # global idx of buffer column col>=K is idx_base+col-K
+
+    new_vals, new_idxs = [], []
+    for _ in range(k):
+        m = jnp.min(keys, axis=1)                      # [QT] packed min
+        u = m >> 16                                    # arithmetic shift = floor
+        col = m - (u << 16)
+        # previous-best columns (< K) need the old index; tile columns map
+        # to idx_base + col - K directly
+        prev = jnp.sum(
+            jnp.where(small_cols == col[:, None], best_idx, 0), axis=1
+        )
+        new_idxs.append(jnp.where(col < k, prev, tile_idx0 + col))
+        new_vals.append(_unpack_value(u))
+        keys = jnp.where(keys == m[:, None], jnp.int32(0x7FFFFFFF), keys)
+    return (
+        jnp.stack(new_vals, axis=1),
+        jnp.stack(new_idxs, axis=1).astype(jnp.int32),
+    )
+
+
+def _retrieval_kernel(q_ref, g_ref, gn_ref, val_ref, idx_ref, *, k, packed):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -77,19 +140,19 @@ def _retrieval_kernel(q_ref, g_ref, gn_ref, val_ref, idx_ref, *, k):
     )
     scores = gn_ref[:] - 2.0 * dots
 
-    new_val, new_idx = _merge_topk(
-        val_ref[:], idx_ref[:], scores, j * _G_TILE, k
-    )
+    merge = _merge_topk_packed if packed else _merge_topk
+    new_val, new_idx = merge(val_ref[:], idx_ref[:], scores, j * _G_TILE, k)
     val_ref[:] = new_val
     idx_ref[:] = new_idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def _topk_pallas(qf, gf, gn, k: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "packed"))
+def _topk_pallas(qf, gf, gn, k: int, interpret: bool = False,
+                 packed: bool = False):
     q, d = qf.shape
     g = gf.shape[0]
     grid = (pl.cdiv(q, _Q_TILE), pl.cdiv(g, _G_TILE))
-    kernel = functools.partial(_retrieval_kernel, k=k)
+    kernel = functools.partial(_retrieval_kernel, k=k, packed=packed)
     val, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -228,8 +291,25 @@ def topk_retrieval(
             )
         else:
             qf_p = qf
-        val, idx = _topk_pallas(qf_p, gf, gn_row, k_eff, interpret=interpret)
+        # bf16 inputs use the packed-key merge (1 reduce/pass instead of 3);
+        # winners are re-scored exactly below, so only the top-k *selection*
+        # happens at bf16 resolution — which is the bf16 input resolution
+        # anyway.
+        packed = qf.dtype == jnp.bfloat16
+        val, idx = _topk_pallas(
+            qf_p, gf, gn_row, k_eff, interpret=interpret, packed=packed
+        )
         val, idx = val[:q], idx[:q]
+        if packed:
+            g_sel = jnp.take(gf, idx, axis=0).astype(jnp.float32)
+            gn_sel = jnp.take(gnorm2, idx, axis=0)
+            dots = jnp.einsum(
+                "qd,qkd->qk", qf.astype(jnp.float32), g_sel
+            )
+            val = gn_sel - 2.0 * dots
+            order = jnp.argsort(val, axis=1, stable=True)
+            val = jnp.take_along_axis(val, order, axis=1)
+            idx = jnp.take_along_axis(idx, order, axis=1)
     else:
         val, idx = _topk_xla(qf, gf, gn_row, k_eff)
 

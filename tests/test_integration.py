@@ -73,6 +73,15 @@ def test_ctl_end_to_end(separable_root, tmp_path):
     assert out["test_centroids_Top-1"] > 0.95
 
 
+def test_base_end_to_end(separable_root, tmp_path):
+    """Baseline model (resampling, no centroid loss) trains and evals."""
+    cfg = _tiny_cfg(separable_root, tmp_path, "base")
+    cfg.SOLVER.MAX_EPOCHS = 2
+    cfg.SOLVER.EVAL_PERIOD = 2
+    out = fit(cfg, "base", str(tmp_path / "run_base"))
+    assert out["test_plain_mAP"] > 0.9, out
+
+
 def test_only_test_path_with_orbax_checkpoint(separable_root, tmp_path):
     """Train briefly, then exercise the ONLY_TEST double-eval path from the
     saved checkpoint (misc.py:128-139 parity)."""

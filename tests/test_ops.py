@@ -70,3 +70,33 @@ def test_topk_handles_duplicate_distances():
     assert set(idx[0][:2].tolist()) == {0, 1}
     val2, idx2 = topk_retrieval(qf, gf, 3, use_pallas=False)
     np.testing.assert_allclose(np.sort(val[0]), np.sort(val2[0]), rtol=1e-6)
+
+
+def test_topk_pallas_packed_merge_interpret():
+    """bf16 packed-key merge: selection at bf16 resolution, exact re-scored
+    distances, correct set up to bf16 near-ties."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    qf = rng.randn(5, 32).astype(np.float32)
+    gf = rng.randn(300, 32).astype(np.float32)
+    k = 7
+    val, idx = topk_retrieval(
+        jnp.asarray(qf, jnp.bfloat16), jnp.asarray(gf, jnp.bfloat16),
+        k, use_pallas=True, interpret=True,
+    )
+    # distances are exact (re-scored) for the returned indices (bf16 inputs)
+    qf16 = np.asarray(jnp.asarray(qf, jnp.bfloat16), np.float32)
+    gf16 = np.asarray(jnp.asarray(gf, jnp.bfloat16), np.float32)
+    full = (
+        (qf16 * qf16).sum(1)[:, None]
+        + (gf16 * gf16).sum(1)[None, :]
+        - 2 * qf16 @ gf16.T
+    )
+    np.testing.assert_allclose(
+        val, np.take_along_axis(full, idx, axis=1), rtol=1e-3, atol=1e-3
+    )
+    # rows are sorted and the set matches the exact top-k within bf16 slack
+    assert (np.diff(val, axis=1) >= -1e-6).all()
+    kth_exact = np.sort(full, axis=1)[:, k - 1]
+    assert (val[:, -1] <= kth_exact + 0.05 * np.abs(kth_exact) + 0.05).all()
