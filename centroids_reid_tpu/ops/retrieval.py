@@ -256,6 +256,10 @@ def topk_retrieval(
         gf = gf.astype(jnp.bfloat16)
     if use_pallas and qf.dtype != jnp.bfloat16 and not interpret:
         use_pallas = False  # exact fp32: XLA path is the fast one
+    if use_pallas and k > 32 and not interpret:
+        # the kernel unrolls k selection passes per gallery tile; past ~32
+        # the merge dwarfs the matmul and the XLA top_k path wins
+        use_pallas = False
     if dist == "cosine":
         qn = jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-12)
         gn_ = jnp.maximum(jnp.linalg.norm(gf, axis=1, keepdims=True), 1e-12)
