@@ -111,6 +111,11 @@ def get_default_cfg() -> ConfigNode:
     _C.TPU.NUM_GROUPS = 0
     # Cache decoded+resized train images in host RAM (uint8).
     _C.TPU.CACHE_IMAGES = True
+    # Keep the decoded train set resident in HBM and run each epoch as one
+    # scanned XLA program (zero per-step host work). Falls back to streaming
+    # when the image bank exceeds the budget or in multi-host runs.
+    _C.TPU.DEVICE_RESIDENT_DATA = True
+    _C.TPU.DEVICE_DATA_BUDGET_MB = 4096
     # Number of host prefetch threads for image decoding.
     _C.TPU.PREFETCH_THREADS = 4
     # Batches to keep in flight on device.

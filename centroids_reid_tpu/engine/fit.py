@@ -21,12 +21,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import TrainLoader, augment_batch, init_dataset
+from ..data.device_data import bank_size_mb, build_image_bank, plan_to_arrays
 from ..models import create_model
 from ..models.convert import load_pretrained_backbone, graft
 from ..parallel import make_data_mesh, replicate, shard_batch
 from ..solver import lr_for_epoch, set_learning_rate
 from ..utils import annotate, profile_trace
 from .checkpoint import CheckpointManager, epoch_of_checkpoint, restore_state
+from .epoch_runner import make_epoch_runner
 from .evaluate import run_validation
 from .logging import MetricsLogger
 from .state import create_train_state
@@ -111,6 +113,39 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
     dtype = jnp.bfloat16 if cfg.USE_MIXED_PRECISION else jnp.float32
     base_key = jax.random.PRNGKey(cfg.REPRODUCIBLE_SEED + 17 * seed)
 
+    # device-resident fast path: whole train set in HBM, one scanned
+    # program per epoch (single-host only; streaming otherwise)
+    resident = (
+        cfg.TPU.DEVICE_RESIDENT_DATA
+        and n_proc == 1
+        and bank_size_mb(dataset.train, size_hw) <= cfg.TPU.DEVICE_DATA_BUDGET_MB
+    )
+    image_bank = None
+    run_epoch = None
+    if resident:
+        print(
+            f"Device-resident training data: "
+            f"{bank_size_mb(dataset.train, size_hw):.0f} MB image bank"
+        )
+        bank = build_image_bank(
+            dataset.train, size_hw, cache=cfg.TPU.CACHE_IMAGES
+        )
+        image_bank = (
+            replicate(mesh, jnp.asarray(bank)) if mesh is not None
+            else jax.device_put(jnp.asarray(bank))
+        )
+        run_epoch = make_epoch_runner(model, tx, cfg, dataset.num_classes, mode)
+
+    def _put_plan(x):
+        if mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+
+        return jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, P(None, DATA_AXIS))
+        )
+
     metrics_out: Dict[str, float] = {}
     for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS):
         lr = lr_for_epoch(epoch, cfg)
@@ -120,34 +155,48 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
             jax.random.fold_in(base_key, epoch), jax.process_index()
         )
 
-        agg: Dict[str, list] = {}
         t0 = time.time()
-        n_steps = 0
         # one profiler trace of the first trained epoch when TPU.PROFILE
         with profile_trace(
             log_dir, enabled=cfg.TPU.PROFILE and epoch == start_epoch
         ):
-            for t, batch in enumerate(loader.epoch(epoch)):
-                with annotate("augment_dispatch"):
-                    images = jnp.asarray(batch["images"])
-                    is_real = jnp.asarray(batch["is_real"])
-                    x = augment_batch(
-                        images, is_real, jax.random.fold_in(epoch_key, t),
-                        size_hw, cfg.INPUT.PADDING, mean, std,
-                        cfg.INPUT.PROB, cfg.INPUT.RE_PROB, dtype=dtype,
-                    )
-                device_batch = {
-                    "images": x,
-                    "labels": jnp.asarray(batch["labels"]),
-                    "is_real": is_real,
-                }
-                if mesh is not None:
-                    device_batch = shard_batch(mesh, device_batch)
-                with annotate("train_step_dispatch"):
-                    state, step_metrics = train_step(state, device_batch)
-                n_steps += 1
-                for k, v in step_metrics.items():
-                    agg.setdefault(k, []).append(v)
+            if resident:
+                plan = loader.plan_for_epoch(epoch)
+                idx, labels, is_real = plan_to_arrays(plan, dataset.train)
+                n_steps = plan.num_steps
+                state, mean_metrics = run_epoch(
+                    state,
+                    image_bank,
+                    _put_plan(idx),
+                    _put_plan(labels),
+                    _put_plan(is_real),
+                    epoch_key,
+                )
+                agg = {k: [v] for k, v in mean_metrics.items()}
+            else:
+                agg = {}
+                n_steps = 0
+                for t, batch in enumerate(loader.epoch(epoch)):
+                    with annotate("augment_dispatch"):
+                        images = jnp.asarray(batch["images"])
+                        is_real = jnp.asarray(batch["is_real"])
+                        x = augment_batch(
+                            images, is_real, jax.random.fold_in(epoch_key, t),
+                            size_hw, cfg.INPUT.PADDING, mean, std,
+                            cfg.INPUT.PROB, cfg.INPUT.RE_PROB, dtype=dtype,
+                        )
+                    device_batch = {
+                        "images": x,
+                        "labels": jnp.asarray(batch["labels"]),
+                        "is_real": is_real,
+                    }
+                    if mesh is not None:
+                        device_batch = shard_batch(mesh, device_batch)
+                    with annotate("train_step_dispatch"):
+                        state, step_metrics = train_step(state, device_batch)
+                    n_steps += 1
+                    for k, v in step_metrics.items():
+                        agg.setdefault(k, []).append(v)
 
         # epoch end: one host sync for all step metrics
         epoch_metrics = {
