@@ -124,6 +124,10 @@ def get_default_cfg() -> ConfigNode:
     _C.TPU.USE_PALLAS_RETRIEVAL = True
     # Emit jax.profiler traces into LOG_DIR/traces when set.
     _C.TPU.PROFILE = False
+    # Save the periodic (crash-resume) checkpoint every N epochs. The
+    # reference hardcodes every epoch (utils/misc.py:88-93); pulling the
+    # full train state off-device each epoch is expensive on TPU.
+    _C.TPU.PERIODIC_CHECKPOINT_INTERVAL = 1
 
     return _C
 

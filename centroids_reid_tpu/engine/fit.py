@@ -227,7 +227,8 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
             ckpt.save_if_best(
                 epoch, state, val[cfg.SOLVER.MONITOR_METRIC_NAME], cfg
             )
-        ckpt.save_periodic(epoch, state, cfg)
+        if (epoch + 1) % cfg.TPU.PERIODIC_CHECKPOINT_INTERVAL == 0:
+            ckpt.save_periodic(epoch, state, cfg)
 
     # end-of-training double test, both eval modes (misc.py:159-161)
     for use_centroids in (cfg.MODEL.USE_CENTROIDS, not cfg.MODEL.USE_CENTROIDS):
