@@ -128,6 +128,9 @@ def get_default_cfg() -> ConfigNode:
     # reference hardcodes every epoch (utils/misc.py:88-93); pulling the
     # full train state off-device each epoch is expensive on TPU.
     _C.TPU.PERIODIC_CHECKPOINT_INTERVAL = 1
+    # Debug aid: abort on the first NaN/Inf produced on device
+    # (jax_debug_nans). The reference has no sanitizers (SURVEY.md §5).
+    _C.TPU.DEBUG_NANS = False
 
     return _C
 

@@ -42,6 +42,10 @@ def load_model_for_test(cfg, dataset):
 
 
 def run_single(cfg, mode: str, logger_save_dir: str) -> Dict[str, float]:
+    if cfg.TPU.DEBUG_NANS:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     log_dir = next_version_dir(cfg.LOG_DIR, logger_save_dir)
     print(f"Logging to {log_dir}")
     with open(os.path.join(log_dir, "config.yml"), "w") as f:

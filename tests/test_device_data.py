@@ -50,15 +50,12 @@ def test_resident_fit_on_mesh(ds, tmp_path):
     """Device-resident epoch runner executes sharded over a 2-device mesh."""
     if len(jax.devices()) < 2:
         pytest.skip("needs multi-device mesh")
+    import os
+
     from centroids_reid_tpu.engine import fit
 
     cfg = get_default_cfg()
-    cfg.DATASETS.ROOT_DIR = str(
-        np.os.path.dirname(np.os.path.dirname(ds.train[0].path))
-    ) if False else None
     # rebuild root from a record path: .../market1501/bounding_box_train/x.jpg
-    import os
-
     cfg.DATASETS.ROOT_DIR = os.path.dirname(
         os.path.dirname(os.path.dirname(ds.train[0].path))
     )
