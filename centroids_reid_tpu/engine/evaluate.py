@@ -19,7 +19,28 @@ from ..metrics import K_LIST, R1mAP, build_centroid_eval_set
 from ..metrics.eval_reid import ReidMetrics
 
 
+# Factories are memoized per (model, preprocessing) so repeated validations
+# reuse the same jitted wrapper (a fresh jax.jit per call would retrace and
+# recompile every eval).
+_FN_CACHE: dict = {}
+
+
+def _cache_key(kind, model, cfg):
+    # linen modules are frozen dataclasses -> hashable by field values, so
+    # structurally identical models share the compiled function
+    return (
+        kind,
+        model,
+        tuple(cfg.INPUT.PIXEL_MEAN),
+        tuple(cfg.INPUT.PIXEL_STD),
+        bool(cfg.USE_MIXED_PRECISION),
+    )
+
+
 def make_embed_fn(model, cfg):
+    key = _cache_key("embed", model, cfg)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
     mean = tuple(cfg.INPUT.PIXEL_MEAN)
     std = tuple(cfg.INPUT.PIXEL_STD)
     dtype = jnp.bfloat16 if cfg.USE_MIXED_PRECISION else jnp.float32
@@ -33,6 +54,7 @@ def make_embed_fn(model, cfg):
             method=model.embed,
         )
 
+    _FN_CACHE[key] = embed
     return embed
 
 
@@ -42,6 +64,9 @@ def make_embed_many_fn(model, cfg):
     The device tunnel has tens of ms of fixed latency per dispatched
     computation; scanning S loader batches per call amortises it S-fold
     during validation."""
+    key = _cache_key("embed_many", model, cfg)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
     mean = tuple(cfg.INPUT.PIXEL_MEAN)
     std = tuple(cfg.INPUT.PIXEL_STD)
     dtype = jnp.bfloat16 if cfg.USE_MIXED_PRECISION else jnp.float32
@@ -60,6 +85,7 @@ def make_embed_many_fn(model, cfg):
         _, es = jax.lax.scan(body, None, imgs_u8)
         return es  # [S, B, D]
 
+    _FN_CACHE[key] = embed_many
     return embed_many
 
 

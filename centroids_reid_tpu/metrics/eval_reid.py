@@ -15,6 +15,7 @@ program on device (or vectorised numpy on host):
 * top-k hit flags for k in {1,5,10,20,50} (:15,18-22).
 """
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -31,6 +32,7 @@ class ReidMetrics(NamedTuple):
     single_performance: np.ndarray  # [num_valid_q, 3] (q_idx, q_pid, AP)
 
 
+@partial(jax.jit, static_argnums=(5, 6))
 def _ranked_metrics_device(
     indices, q_pids, g_pids, q_camids, g_camids, max_rank, respect_camids
 ):
@@ -90,9 +92,7 @@ def eval_func(
         max_rank = num_g
         print(f"Note: number of gallery samples is quite small, got {num_g}")
 
-    cmc, mAP, topk, ap, valid_q = jax.jit(
-        _ranked_metrics_device, static_argnums=(5, 6)
-    )(
+    cmc, mAP, topk, ap, valid_q = _ranked_metrics_device(
         jnp.asarray(indices),
         jnp.asarray(np.asarray(q_pids, np.int64)),
         jnp.asarray(np.asarray(g_pids, np.int64)),
