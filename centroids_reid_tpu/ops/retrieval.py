@@ -261,10 +261,13 @@ def topk_retrieval(
         # the merge dwarfs the matmul and the XLA top_k path wins
         use_pallas = False
     if dist == "cosine":
-        qn = jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-12)
-        gn_ = jnp.maximum(jnp.linalg.norm(gf, axis=1, keepdims=True), 1e-12)
-        qf = qf / qn
-        gf = gf / gn_
+        in_dtype = qf.dtype
+        qf32 = qf.astype(jnp.float32)
+        gf32 = gf.astype(jnp.float32)
+        qn = jnp.maximum(jnp.linalg.norm(qf32, axis=1, keepdims=True), 1e-12)
+        gn_ = jnp.maximum(jnp.linalg.norm(gf32, axis=1, keepdims=True), 1e-12)
+        qf = (qf32 / qn).astype(in_dtype)
+        gf = (gf32 / gn_).astype(in_dtype)
         gnorm2 = jnp.ones((gf.shape[0],), jnp.float32)
     elif dist == "euclidean":
         gnorm2 = jnp.sum(

@@ -44,10 +44,13 @@ def sharded_topk(qf, gf, k: int, mesh: Mesh, dist: str = "euclidean"):
     shard_rows = gf.shape[0] // n
 
     if dist == "cosine":
-        qn = jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-12)
-        gnorm = jnp.maximum(jnp.linalg.norm(gf, axis=1, keepdims=True), 1e-12)
-        qf = qf / qn
-        gf = gf / gnorm
+        in_dtype = qf.dtype
+        qf32 = qf.astype(jnp.float32)
+        gf32 = gf.astype(jnp.float32)
+        qn = jnp.maximum(jnp.linalg.norm(qf32, axis=1, keepdims=True), 1e-12)
+        gnorm = jnp.maximum(jnp.linalg.norm(gf32, axis=1, keepdims=True), 1e-12)
+        qf = (qf32 / qn).astype(in_dtype)
+        gf = (gf32 / gnorm).astype(in_dtype)
     elif dist != "euclidean":
         raise ValueError(f"Unknown distance {dist!r}")
 
