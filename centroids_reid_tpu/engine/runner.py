@@ -78,8 +78,32 @@ def run_single(cfg, mode: str, logger_save_dir: str) -> Dict[str, float]:
                dataset=dataset)
 
 
+def maybe_initialize_distributed():
+    """Join a multi-host JAX cluster when launch env vars are present.
+
+    The reference relies on Lightning to spin up DDP processes
+    (utils/misc.py:101-119); the JAX equivalent is
+    ``jax.distributed.initialize``, driven by the standard coordinator env
+    (set by the TPU pod launcher). No-op on single-host runs.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        import jax
+
+        if jax.process_count() == 1:  # not yet initialised
+            jax.distributed.initialize()
+            print(
+                f"jax.distributed initialised: process "
+                f"{jax.process_index()}/{jax.process_count()}"
+            )
+
+
 def run_main(cfg, mode: str, logger_save_dir: str) -> Dict[str, float]:
     """Multi-run entry (misc.py:164-179)."""
+    maybe_initialize_distributed()
     cfg.LOG_DIR = (
         f"logs/{cfg.DATASETS.NAMES}" if cfg.OUTPUT_DIR == "" else cfg.OUTPUT_DIR
     )
