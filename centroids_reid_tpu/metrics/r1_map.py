@@ -27,20 +27,28 @@ def _dist_chunk(qf, gf_chunk, dist_name):
     return get_dist_func(dist_name, eval_mode=True)(qf, gf_chunk)
 
 
-def compute_distmat(
-    qf: np.ndarray, gf: np.ndarray, dist_name: str = "euclidean"
-) -> np.ndarray:
-    """[Q,D] x [G,D] -> [Q,G] fp32 distances, chunked over gallery."""
+def compute_distmat_device(qf, gf, dist_name: str = "euclidean"):
+    """[Q,D] x [G,D] -> [Q,G] fp32 distances as a DEVICE array.
+
+    Chunked over gallery so each matmul stays bounded; the result never
+    leaves HBM (the reference's host chunking moved every chunk through
+    host memory, reid_metric.py:93-110)."""
     q, g = qf.shape[0], gf.shape[0]
     chunk = max(1, min(g, _CHUNK_ELEMS // max(q, 1)))
     qj = jnp.asarray(qf, jnp.float32)
-    out = np.empty((q, g), np.float32)
-    for s in range(0, g, chunk):
-        e = min(s + chunk, g)
-        out[:, s:e] = np.asarray(
-            _dist_chunk(qj, jnp.asarray(gf[s:e], jnp.float32), dist_name)
-        )
-    return out
+    parts = [
+        _dist_chunk(qj, jnp.asarray(gf[s:min(s + chunk, g)], jnp.float32),
+                    dist_name)
+        for s in range(0, g, chunk)
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def compute_distmat(
+    qf: np.ndarray, gf: np.ndarray, dist_name: str = "euclidean"
+) -> np.ndarray:
+    """Host-output variant of compute_distmat_device."""
+    return np.asarray(compute_distmat_device(qf, gf, dist_name))
 
 
 def l2_normalize_rows(x: np.ndarray) -> np.ndarray:
@@ -79,8 +87,12 @@ class R1mAP:
         q_camids = np.asarray(camids[:nq])
         g_camids = np.asarray(camids[nq:])
 
-        distmat = compute_distmat(qf, gf, self.dist_name)
-        indices = np.asarray(jnp.argsort(jnp.asarray(distmat), axis=1))
+        # the whole ranking pipeline stays on device: distances, argsort
+        # and the metric mask algebra — only the scalar-ish results come
+        # back to the host (a [Q,G] round-trip through the host costs more
+        # than the compute at Market1501 scale)
+        distmat = compute_distmat_device(qf, gf, self.dist_name)
+        indices = jnp.argsort(distmat, axis=1)
 
         metrics = eval_func(
             indices,
@@ -91,5 +103,11 @@ class R1mAP:
             self.max_rank,
             respect_camids,
         )
-        self.last_distmat = distmat  # for rank visualisation
+        self._last_distmat_device = distmat  # for rank visualisation
         return metrics
+
+    @property
+    def last_distmat(self) -> np.ndarray:
+        """Host copy of the last distance matrix (lazy — only the
+        visualisation path pays for the transfer)."""
+        return np.asarray(self._last_distmat_device)
