@@ -141,10 +141,14 @@ class EvalLoader:
     """
 
     def __init__(self, records: List[Record], cfg,
-                 batch_size: Optional[int] = None, prefetch: int = 2):
+                 batch_size: Optional[int] = None, prefetch: int = 2,
+                 store: Optional[ImageStore] = None):
         self.records = records
         self.batch_size = batch_size or cfg.TEST.IMS_PER_BATCH
-        self.store = ImageStore(cfg.INPUT.SIZE_TEST, cfg.TPU.CACHE_IMAGES)
+        # pass a shared store so repeated validations reuse decoded images
+        self.store = store or ImageStore(
+            cfg.INPUT.SIZE_TEST, cfg.TPU.CACHE_IMAGES
+        )
         self.prefetch = prefetch
 
     def __len__(self):

@@ -15,8 +15,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import EvalLoader, normalize_batch
+from ..data.loader import ImageStore
 from ..metrics import K_LIST, R1mAP, build_centroid_eval_set
 from ..metrics.eval_reid import ReidMetrics
+
+
+def _shared_store(dataset, cfg) -> ImageStore:
+    """One decoded-image cache per dataset object: repeated validations
+    (EVAL_PERIOD, final double test) skip re-decoding the val set."""
+    size = tuple(cfg.INPUT.SIZE_TEST)
+    store = getattr(dataset, "_eval_store", None)
+    if store is None or store.size_hw != size:
+        store = ImageStore(size, cfg.TPU.CACHE_IMAGES)
+        dataset._eval_store = store
+    return store
 
 
 # Factories are memoized per (model, preprocessing) so repeated validations
@@ -167,7 +179,7 @@ def evaluate_on_train(
     (as raw images, or per-pid centroids when ``use_centroids``), with the
     usual same-pid+camid removal.
     """
-    loader = EvalLoader(dataset.train, cfg)
+    loader = EvalLoader(dataset.train, cfg, store=_shared_store(dataset, cfg))
     emb, pids, camids = extract_embeddings(
         model, cfg, params_model, batch_stats, loader
     )
@@ -189,7 +201,7 @@ def run_validation(
     cfg, model, params_model, batch_stats, dataset, use_centroids: bool
 ) -> Dict[str, float]:
     """Full validation pass; returns {'mAP': ..., 'Top-1': ..., ...}."""
-    loader = EvalLoader(dataset.val, cfg)
+    loader = EvalLoader(dataset.val, cfg, store=_shared_store(dataset, cfg))
     emb, pids, camids = extract_embeddings(
         model, cfg, params_model, batch_stats, loader
     )
