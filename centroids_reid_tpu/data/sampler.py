@@ -54,6 +54,18 @@ def occurrences_per_pid(n_samples: int, num_instances: int) -> int:
     return int(np.ceil(n / num_instances))
 
 
+def max_steps_bound(
+    train_dict, batch_pids: int, num_instances: int, num_groups: int
+) -> int:
+    """Upper bound on any epoch's step count: total pid occurrences can
+    never pack into more than total // (P*G) steps. Used to pad epoch plans
+    to one static length (one XLA compile for every epoch)."""
+    total = sum(
+        occurrences_per_pid(len(v), num_instances) for v in train_dict.values()
+    )
+    return total // (batch_pids * num_groups)
+
+
 def build_epoch_plan(
     train_dict: Dict[int, list],
     batch_pids: int,

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..data import TrainLoader, augment_batch, init_dataset
 from ..data.device_data import bank_size_mb, build_image_bank, plan_to_arrays
+from ..data.sampler import max_steps_bound
 from ..models import create_model
 from ..models.convert import load_pretrained_backbone, graft
 from ..parallel import make_data_mesh, replicate, shard_batch
@@ -164,12 +165,27 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
                 plan = loader.plan_for_epoch(epoch)
                 idx, labels, is_real = plan_to_arrays(plan, dataset.train)
                 n_steps = plan.num_steps
+                # pad every epoch to one static step count -> one compile
+                s_max = max_steps_bound(
+                    dataset.train_dict, cfg.SOLVER.IMS_PER_BATCH,
+                    cfg.DATALOADER.NUM_INSTANCE, g,
+                )
+                step_valid = np.zeros((s_max,), bool)
+                step_valid[:n_steps] = True
+                pad = s_max - n_steps
+                if pad:
+                    def _pad(a):
+                        return np.concatenate(
+                            [a, np.repeat(a[-1:], pad, axis=0)], axis=0
+                        )
+                    idx, labels, is_real = map(_pad, (idx, labels, is_real))
                 state, mean_metrics = run_epoch(
                     state,
                     image_bank,
                     _put_plan(idx),
                     _put_plan(labels),
                     _put_plan(is_real),
+                    jnp.asarray(step_valid),
                     epoch_key,
                 )
                 agg = {k: [v] for k, v in mean_metrics.items()}
