@@ -12,10 +12,7 @@ from __future__ import annotations
 import os
 from typing import Dict
 
-import numpy as np
-
 from ..data import init_dataset
-from ..models import create_model
 from ..models.convert import graft, load_reference_checkpoint
 from .checkpoint import restore_state
 from .evaluate import run_validation

@@ -13,11 +13,9 @@ from typing import Optional
 
 import numpy as np
 
-from ..engine.runner import load_model_for_test
 from ..metrics.r1_map import compute_distmat, l2_normalize_rows
 from ..models import create_model, init_model
 from ..models.convert import graft, load_reference_checkpoint
-from ..engine.checkpoint import restore_state
 from .utils import (
     PID_EXTRACTORS,
     calculate_centroids,
@@ -43,7 +41,6 @@ def load_inference_model(cfg):
         raise ValueError("MODEL.PRETRAIN_PATH must point to a checkpoint")
     if os.path.isdir(path):
         # orbax checkpoint of a full TrainState: pull the model subtree
-        from ..data.datasets import ReidDataset  # noqa: F401 (doc only)
         import orbax.checkpoint as ocp
 
         raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))

@@ -14,7 +14,6 @@ import os
 from pathlib import Path
 from typing import Callable, Dict, List, Tuple
 
-import jax
 import numpy as np
 
 from ..data.loader import EvalLoader

@@ -18,7 +18,7 @@ but the means are vectorised numpy.
 """
 
 from collections import defaultdict
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp

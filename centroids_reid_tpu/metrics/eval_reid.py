@@ -16,7 +16,7 @@ program on device (or vectorised numpy on host):
 """
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

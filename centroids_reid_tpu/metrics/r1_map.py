@@ -9,8 +9,6 @@ same result, MXU-sized blocks.
 """
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,9 +15,8 @@ Mirrors the behavioural surface of the reference:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

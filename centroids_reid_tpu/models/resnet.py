@@ -19,8 +19,7 @@ modules are pure functions of (params, batch_stats, x).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

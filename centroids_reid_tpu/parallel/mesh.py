@@ -13,7 +13,7 @@ work is sharded over gallery rows (the "scale" subsystem replacing the
 reference's >30k-row host chunking, utils/reid_metric.py:93-110).
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -8,8 +8,6 @@ rows over the mesh's ``gallery`` axis, compute a local top-k per device
 on any chip.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
