@@ -82,6 +82,16 @@ def test_base_end_to_end(separable_root, tmp_path):
     assert out["test_plain_mAP"] > 0.9, out
 
 
+def test_streaming_fallback_end_to_end(separable_root, tmp_path):
+    """The streaming (non-device-resident) loop stays healthy."""
+    cfg = _tiny_cfg(separable_root, tmp_path, "ctl")
+    cfg.TPU.DEVICE_RESIDENT_DATA = False
+    cfg.SOLVER.MAX_EPOCHS = 2
+    cfg.SOLVER.EVAL_PERIOD = 2
+    out = fit(cfg, "ctl", str(tmp_path / "run_stream"))
+    assert out["test_centroids_mAP"] > 0.9, out
+
+
 def test_only_test_path_with_orbax_checkpoint(separable_root, tmp_path):
     """Train briefly, then exercise the ONLY_TEST double-eval path from the
     saved checkpoint (misc.py:128-139 parity)."""
