@@ -20,14 +20,33 @@ from .sampler import EpochPlan
 
 
 def build_image_bank(
-    records: List[Record], size_hw: Tuple[int, int], cache: bool = True
+    records: List[Record], size_hw: Tuple[int, int], cache: bool = True,
+    num_workers: int = 0,
 ) -> np.ndarray:
-    """Decode+resize every record once -> uint8 [N, H, W, 3]."""
+    """Decode+resize every record once -> uint8 [N, H, W, 3].
+
+    ``num_workers`` threads decode in parallel (PIL releases the GIL in the
+    JPEG decoder); 0 means one thread per available CPU. Real TPU hosts
+    have hundreds of cores — this is the reference's DataLoader worker
+    parallelism (utils/misc.py:165), paid once instead of per epoch.
+    """
+    import concurrent.futures
+    import os
+
     store = ImageStore(size_hw, cache=cache)
     h, w = size_hw
     bank = np.zeros((len(records), h, w, 3), np.uint8)
-    for i, rec in enumerate(records):
-        bank[i] = store.get(rec.path)
+    workers = num_workers or min(32, os.cpu_count() or 1)
+
+    def fill(i):
+        bank[i] = store.get(records[i].path)
+
+    if workers > 1:
+        with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+            list(pool.map(fill, range(len(records))))
+    else:
+        for i in range(len(records)):
+            fill(i)
     return bank
 
 

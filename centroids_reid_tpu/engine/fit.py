@@ -129,7 +129,8 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
             f"{bank_size_mb(dataset.train, size_hw):.0f} MB image bank"
         )
         bank = build_image_bank(
-            dataset.train, size_hw, cache=cfg.TPU.CACHE_IMAGES
+            dataset.train, size_hw, cache=cfg.TPU.CACHE_IMAGES,
+            num_workers=cfg.DATALOADER.NUM_WORKERS,
         )
         image_bank = (
             replicate(mesh, jnp.asarray(bank)) if mesh is not None
