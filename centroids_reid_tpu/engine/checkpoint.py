@@ -68,14 +68,21 @@ class CheckpointManager:
         if not better:
             return False
         self.best_metric = metric
-        for d in os.listdir(self.best_dir):
+        previous = list(os.listdir(self.best_dir))
+        path = os.path.join(self.best_dir, f"epoch={epoch}")
+        self._save(path, state, cfg)
+        # delete the previous best only after the new one is fully written
+        # (crash-safe ordering; the reference's atomic save is documented
+        # but unimplemented, chechpointer_callback.py:26-30)
+        keep = {os.path.abspath(path), os.path.abspath(path + ".cfg.yml")}
+        for d in previous:
             full = os.path.join(self.best_dir, d)
+            if os.path.abspath(full) in keep:
+                continue
             if os.path.isdir(full):
                 shutil.rmtree(full, ignore_errors=True)
             else:
                 os.remove(full)
-        path = os.path.join(self.best_dir, f"epoch={epoch}")
-        self._save(path, state, cfg)
         print(f"Saved best checkpoint (metric={metric:.4f}) at {path}")
         return True
 
