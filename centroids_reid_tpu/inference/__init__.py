@@ -18,4 +18,6 @@ __all__ = [
     "list_images_flat",
     "list_images_subfolders",
     "run_inference",
+    "RetrievalService",
 ]
+from .service import RetrievalService

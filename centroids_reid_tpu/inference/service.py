@@ -1,0 +1,126 @@
+"""Serving: one-dispatch image -> top-k retrieval against a resident gallery.
+
+The reference's serving story is two offline CLIs (embed, then rank). For
+production serving the whole query path should be ONE device program: decode
+on host, then normalise -> backbone -> BNNeck -> (optional) L2 -> fused
+distance+top-k against a gallery that lives in HBM. Nothing besides the
+uint8 query batch and the k results crosses the host boundary.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.transforms import load_and_resize, normalize_batch
+from ..ops.retrieval import _G_TILE, _topk_pallas, _topk_xla
+from .api import load_inference_model
+
+
+class RetrievalService:
+    """Holds the model and a device-resident gallery; answers queries.
+
+    gallery_embeddings: [G, D] float array (e.g. loaded from the
+    create_embeddings output); gallery_paths: [G] identifiers returned with
+    results. ``use_bf16_kernel`` routes ranking through the Pallas kernel
+    (selection at bf16 resolution, exact re-scoring of winners).
+    """
+
+    def __init__(
+        self,
+        cfg,
+        gallery_embeddings: np.ndarray,
+        gallery_paths: Sequence,
+        k: int = 10,
+        normalize: bool = True,
+        use_bf16_kernel: bool = True,
+        model_bundle=None,
+    ):
+        self.cfg = cfg
+        self.k = int(min(k, len(gallery_paths)))
+        self.normalize = normalize
+        self.paths = np.asarray(gallery_paths)
+        if model_bundle is None:
+            model_bundle = load_inference_model(cfg)
+        self.model, self.params, self.batch_stats = model_bundle
+
+        gf = np.asarray(gallery_embeddings, np.float32)
+        if normalize:
+            gf = gf / np.maximum(
+                np.linalg.norm(gf, axis=1, keepdims=True), 1e-12
+            )
+        g = gf.shape[0]
+        pad = (-g) % _G_TILE
+        gn = (gf * gf).sum(axis=1)
+        if pad:
+            gf = np.concatenate([gf, np.zeros((pad, gf.shape[1]), gf.dtype)])
+            gn = np.concatenate([gn, np.full((pad,), np.inf, np.float32)])
+        kernel_dtype = jnp.bfloat16 if use_bf16_kernel else jnp.float32
+        self._use_pallas = use_bf16_kernel and self.k <= 32
+        self._gf = jax.device_put(jnp.asarray(gf, kernel_dtype))
+        self._gf32 = jax.device_put(jnp.asarray(gf[:g], jnp.float32))
+        self._gn = jax.device_put(jnp.asarray(gn, jnp.float32)[None, :])
+
+        mean = tuple(cfg.INPUT.PIXEL_MEAN)
+        std = tuple(cfg.INPUT.PIXEL_STD)
+        emb_dtype = jnp.bfloat16 if cfg.USE_MIXED_PRECISION else jnp.float32
+        model = self.model
+        k_eff = self.k
+        use_pallas = self._use_pallas
+        do_norm = normalize
+
+        @jax.jit
+        def run(params, batch_stats, gf, gf32, gn, imgs_u8):
+            x = normalize_batch(imgs_u8, mean, std, dtype=emb_dtype)
+            e = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, method=model.embed,
+            )
+            if do_norm:
+                e = e / jnp.maximum(
+                    jnp.linalg.norm(e, axis=1, keepdims=True), 1e-12
+                )
+            eq = e.astype(gf.dtype)
+            pad_q = (-eq.shape[0]) % 128
+            if pad_q:
+                eq = jnp.concatenate(
+                    [eq, jnp.zeros((pad_q, eq.shape[1]), eq.dtype)]
+                )
+            if use_pallas:
+                val, idx = _topk_pallas(eq, gf, gn, k_eff, packed=True)
+            else:
+                val, idx = _topk_xla(eq, gf, gn, k_eff)
+            val, idx = val[: e.shape[0]], idx[: e.shape[0]]
+            # exact re-score + sort of the winners in fp32
+            g_sel = jnp.take(gf32, idx, axis=0)
+            d = (
+                jnp.sum(e.astype(jnp.float32) ** 2, axis=1)[:, None]
+                + jnp.sum(g_sel * g_sel, axis=2)
+                - 2.0 * jnp.einsum("qd,qkd->qk", e.astype(jnp.float32), g_sel)
+            )
+            order = jnp.argsort(d, axis=1, stable=True)
+            return (
+                jnp.take_along_axis(d, order, axis=1),
+                jnp.take_along_axis(idx, order, axis=1),
+            )
+
+        self._run = run
+
+    def query_arrays(self, imgs_u8: np.ndarray):
+        """[B, H, W, 3] uint8 -> (distances [B,k], indices [B,k], paths)."""
+        d, idx = self._run(
+            self.params, self.batch_stats, self._gf, self._gf32, self._gn,
+            jnp.asarray(imgs_u8),
+        )
+        d = np.asarray(d)
+        idx = np.asarray(idx)
+        return d, idx, self.paths[idx]
+
+    def query_files(self, image_paths: Sequence[str]):
+        size = tuple(self.cfg.INPUT.SIZE_TEST)
+        imgs = np.stack([load_and_resize(p, size) for p in image_paths])
+        return self.query_arrays(imgs)

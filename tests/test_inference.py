@@ -190,3 +190,28 @@ def test_load_reference_torch_checkpoint(image_dirs, tmp_path):
         {"params": params2, "batch_stats": stats2}, x, method=model2.embed
     )
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+
+
+def test_retrieval_service_self_query(ckpt_dir, image_dirs, tmp_path):
+    """One-dispatch serving path: identical query image ranks first."""
+    gallery, query = image_dirs
+    cfg = _cfg(tmp_path)
+    cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg.DATASETS.ROOT_DIR = gallery
+    emb, paths = build_embeddings(cfg, images_in_subfolders=False)
+
+    from centroids_reid_tpu.inference import RetrievalService
+
+    svc = RetrievalService(
+        cfg, emb, paths, k=3, normalize=True, use_bf16_kernel=False,
+    )
+    qfiles = sorted(
+        os.path.join(query, f) for f in os.listdir(query)
+    )
+    d, idx, res_paths = svc.query_files(qfiles)
+    assert d.shape == (3, 3)
+    for qi, qpath in enumerate(qfiles):
+        expected = os.path.basename(qpath)[2:]  # strip "q_"
+        assert os.path.basename(res_paths[qi, 0]) == expected
+        assert d[qi, 0] == pytest.approx(0.0, abs=1e-3)
+        assert (np.diff(d[qi]) >= -1e-6).all()
