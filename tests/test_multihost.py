@@ -76,7 +76,7 @@ def test_two_process_data_parallel(tmp_path):
                      "centroids_reid_tpu")
     )
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    port = "12767"
+    port = str(12000 + os.getpid() % 20000)  # avoid cross-run port clashes
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), port],
