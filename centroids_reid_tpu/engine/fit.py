@@ -124,19 +124,47 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
     image_bank = None
     run_epoch = None
     if resident:
+        import concurrent.futures
+
         print(
             f"Device-resident training data: "
             f"{bank_size_mb(dataset.train, size_hw):.0f} MB image bank"
         )
-        bank = build_image_bank(
-            dataset.train, size_hw, cache=cfg.TPU.CACHE_IMAGES,
-            num_workers=cfg.DATALOADER.NUM_WORKERS,
+        run_epoch = make_epoch_runner(model, tx, cfg, dataset.num_classes, mode)
+        # overlap the (CPU-bound) decode of the image bank with the
+        # (remote/compiler-bound) AOT compile of the epoch program
+        pool = concurrent.futures.ThreadPoolExecutor(1)
+        bank_future = pool.submit(
+            build_image_bank, dataset.train, size_hw,
+            cfg.TPU.CACHE_IMAGES, cfg.DATALOADER.NUM_WORKERS,
         )
+        if mesh is None:
+            try:
+                s_max0 = max_steps_bound(
+                    dataset.train_dict, cfg.SOLVER.IMS_PER_BATCH,
+                    cfg.DATALOADER.NUM_INSTANCE, g,
+                )
+                pk = cfg.SOLVER.IMS_PER_BATCH * cfg.DATALOADER.NUM_INSTANCE
+                h, w = size_hw
+                sds = jax.ShapeDtypeStruct
+                compiled = run_epoch.lower(
+                    state,
+                    sds((len(dataset.train), h, w, 3), jnp.uint8),
+                    sds((s_max0, g, pk), jnp.int32),
+                    sds((s_max0, g, pk), jnp.int32),
+                    sds((s_max0, g, pk), jnp.bool_),
+                    sds((s_max0,), jnp.bool_),
+                    sds((2,), jnp.uint32),
+                ).compile()
+                run_epoch = compiled  # executable handle, no retrace later
+            except Exception as e:  # pragma: no cover — fall back to lazy
+                print(f"AOT epoch compile skipped ({type(e).__name__}: {e})")
+        bank = bank_future.result()
+        pool.shutdown()
         image_bank = (
             replicate(mesh, jnp.asarray(bank)) if mesh is not None
             else jax.device_put(jnp.asarray(bank))
         )
-        run_epoch = make_epoch_runner(model, tx, cfg, dataset.num_classes, mode)
 
     def _put_plan(x):
         if mesh is None:
