@@ -66,7 +66,7 @@ def _augment_one(img_u8, rng, size_hw, padding, mean, std, flip_p, re_p):
     x = _normalize(x, mean, std)
 
     # random erasing in normalised space, fill = PIXEL_MEAN values
-    ks = jax.random.split(k_erase, 3)
+    ks = jax.random.split(k_erase, 4)
     do_erase = jax.random.uniform(ks[0]) < re_p
     area = h * w
     target_area = jax.random.uniform(
@@ -82,7 +82,11 @@ def _augment_one(img_u8, rng, size_hw, padding, mean, std, flip_p, re_p):
     any_valid = jnp.any(valid)
     eh0 = jnp.minimum(eh[first], h - 1)
     ew0 = jnp.minimum(ew[first], w - 1)
-    ky, kx = jax.random.split(ks[0])
+    # NOTE: position keys come from a fresh split (ks[3]), never from the
+    # already-consumed decision key ks[0] — reusing a consumed key would
+    # correlate the erase decision with the rectangle placement (fixed in
+    # round 2; this changes the augmentation stream vs round 1).
+    ky, kx = jax.random.split(ks[3])
     # uniform over valid top-left corners (dynamic upper bound)
     y0 = (jax.random.uniform(ky) * (h - eh0 + 1).astype(jnp.float32)).astype(jnp.int32)
     x0 = (jax.random.uniform(kx) * (w - ew0 + 1).astype(jnp.float32)).astype(jnp.int32)

@@ -192,6 +192,55 @@ def test_augment_batch_semantics():
     np.testing.assert_array_equal(out, np.asarray(out2))
 
 
+def test_random_erase_placement_statistics():
+    """Erase decision ⊥ placement; placement uniform over valid corners.
+
+    Guards the round-2 fix of the RNG key reuse (transforms.py: position keys
+    now derive from a fresh split, not the consumed decision key)."""
+    n = 256
+    h, w = 32, 16
+    imgs = np.full((n, h, w, 3), 255, np.uint8)
+    is_real = np.ones((n,), bool)
+    mean = (0.485, 0.456, 0.406)
+    std = (0.229, 0.224, 0.225)
+    key = jax.random.PRNGKey(7)
+
+    def run(re_p):
+        out = augment_batch(
+            jnp.asarray(imgs), jnp.asarray(is_real), key,
+            (h, w), 0, mean, std, 0.0, re_p,
+        )
+        # erased pixels equal the fill value (PIXEL_MEAN in normalised space)
+        return np.isclose(np.asarray(out)[..., 0], mean[0], atol=1e-5)
+
+    m1 = run(1.0)   # always erase
+    m5 = run(0.5)   # erase ~half, same per-image keys
+
+    # p=1.0: every image has a rectangle
+    assert m1.any(axis=(1, 2)).all()
+
+    # decision ⊥ placement: images erased at p=0.5 have the IDENTICAL
+    # rectangle as at p=1.0 (threshold change must not move the placement)
+    erased5 = m5.any(axis=(1, 2))
+    frac = erased5.mean()
+    assert 0.35 < frac < 0.65, frac
+    np.testing.assert_array_equal(m5[erased5], m1[erased5])
+
+    # placement uniform: normalised top-left corner u = y0/(h-eh+1) should
+    # have mean ~0.5 (std of the mean ≈ 0.29/sqrt(256) ≈ 0.018)
+    ys, xs = [], []
+    for i in range(n):
+        rows = np.where(m1[i].any(axis=1))[0]
+        cols = np.where(m1[i].any(axis=0))[0]
+        eh, ew = len(rows), len(cols)
+        ys.append(rows[0] / max(h - eh, 1))
+        xs.append(cols[0] / max(w - ew, 1))
+    assert abs(np.mean(ys) - 0.5) < 0.08, np.mean(ys)
+    assert abs(np.mean(xs) - 0.5) < 0.08, np.mean(xs)
+    # spread: corners are not clustered (buggy key reuse collapsed diversity)
+    assert np.std(ys) > 0.15 and np.std(xs) > 0.15
+
+
 def test_normalize_batch_matches_manual():
     rng = np.random.RandomState(1)
     imgs = rng.randint(0, 255, (3, 8, 8, 3), np.uint8)
