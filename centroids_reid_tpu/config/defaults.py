@@ -113,7 +113,9 @@ def get_default_cfg() -> ConfigNode:
     _C.TPU.CACHE_IMAGES = True
     # Keep the decoded train set resident in HBM and run each epoch as one
     # scanned XLA program (zero per-step host work). Falls back to streaming
-    # when the image bank exceeds the budget or in multi-host runs.
+    # when the image bank exceeds the budget. Multi-host: each host decodes
+    # the full bank and replicates it; the epoch scan is one global SPMD
+    # program over the data mesh.
     _C.TPU.DEVICE_RESIDENT_DATA = True
     _C.TPU.DEVICE_DATA_BUDGET_MB = 4096
     # Number of host prefetch threads for image decoding.

@@ -9,6 +9,16 @@ Replaces the reference's three mechanisms (SURVEY.md §5):
 A checkpoint is the whole TrainState pytree (params incl. centers,
 batch_stats, opt_state, step) plus the config YAML — the analogue of a
 Lightning ckpt's hparams+state_dict (modelling/bases.py:63-64).
+
+Multi-host: saves are process-0-only, mirroring the reference's rank-zero
+guard (callbacks/chechpointer_callback.py:58, Lightning's rank_zero_only on
+ModelCheckpoint). Under data parallelism every leaf of the train state is
+fully replicated, so process 0 materialises its local replica to host
+memory and writes a plain (single-process) orbax checkpoint; a global
+barrier after the write keeps the ring/best pruning race-free. All
+processes track ``best_metric`` (validation is deterministic and computed
+identically on every host, engine/fit.py) so the best/not-best decision
+never diverges.
 """
 
 from __future__ import annotations
@@ -17,7 +27,20 @@ import os
 import shutil
 from typing import Optional
 
+import jax
+import numpy as np
 import orbax.checkpoint as ocp
+
+
+def _is_main() -> bool:
+    return jax.process_index() == 0
+
+
+def _barrier(name: str):
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
 
 
 class CheckpointManager:
@@ -50,6 +73,8 @@ class CheckpointManager:
         )
 
     def _prune_ring(self):
+        if not _is_main():
+            return
         entries = self._ring_entries()
         while len(entries) > self.n_saved:
             victim = entries.pop(0)
@@ -68,9 +93,11 @@ class CheckpointManager:
         if not better:
             return False
         self.best_metric = metric
-        previous = list(os.listdir(self.best_dir))
+        previous = list(os.listdir(self.best_dir)) if _is_main() else []
         path = os.path.join(self.best_dir, f"epoch={epoch}")
         self._save(path, state, cfg)
+        if not _is_main():
+            return True
         # delete the previous best only after the new one is fully written
         # (crash-safe ordering; the reference's atomic save is documented
         # but unimplemented, chechpointer_callback.py:26-30)
@@ -88,6 +115,25 @@ class CheckpointManager:
 
     # -- io ---------------------------------------------------------------
     def _save(self, path: str, state, cfg):
+        if jax.process_count() > 1:
+            # Every leaf is replicated under DP: materialise the local
+            # replica to host numpy so orbax sees process-replicated values
+            # (it writes them from the primary host only). All processes
+            # MUST call save — orbax runs internal global barriers
+            # ('Checkpointer:save_start'); a process-0-only call deadlocks.
+            state = jax.tree.map(
+                lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+                state,
+            )
+            if _is_main() and os.path.exists(path):
+                shutil.rmtree(path)
+            _barrier("ckpt_rm:" + os.path.basename(path))
+            self._ckptr.save(path, state)
+            if _is_main() and cfg is not None:
+                with open(path + ".cfg.yml", "w") as f:
+                    f.write(cfg.dump())
+            _barrier("ckpt_save:" + os.path.basename(path))
+            return
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckptr.save(path, state)

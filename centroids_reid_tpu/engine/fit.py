@@ -97,10 +97,14 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
             f"Unknown sampler {cfg.DATALOADER.SAMPLER!r}; only"
             " 'random_identity' exists (reference samplers/__init__.py:15-18)"
         )
-    logger = MetricsLogger(log_dir, "train")
-    # multi-host: every process computes the same global plan and assembles
-    # only the groups its local devices own
+    # multi-host: only process 0 writes logs/checkpoints (reference
+    # rank-zero guard, callbacks/chechpointer_callback.py:58); every
+    # process computes the same global plan and assembles only the groups
+    # its local devices own
     n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+    logger = MetricsLogger(log_dir, "train", enabled=is_main)
+    logger.log_params({"mode": mode, "seed": seed, "config": cfg.dump()})
     g_local = g // n_proc
     loader = TrainLoader(
         dataset, cfg, num_groups=g,
@@ -115,10 +119,12 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
     base_key = jax.random.PRNGKey(cfg.REPRODUCIBLE_SEED + 17 * seed)
 
     # device-resident fast path: whole train set in HBM, one scanned
-    # program per epoch (single-host only; streaming otherwise)
+    # program per epoch. Multi-host: each host decodes the full bank and
+    # replicates it (assembled via make_array_from_process_local_data);
+    # the plan arrays are group-sharded with each host contributing its
+    # local group columns, so the scanned epoch is one global SPMD program.
     resident = (
         cfg.TPU.DEVICE_RESIDENT_DATA
-        and n_proc == 1
         and bank_size_mb(dataset.train, size_hw) <= cfg.TPU.DEVICE_DATA_BUDGET_MB
     )
     image_bank = None
@@ -126,10 +132,11 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
     if resident:
         import concurrent.futures
 
-        print(
-            f"Device-resident training data: "
-            f"{bank_size_mb(dataset.train, size_hw):.0f} MB image bank"
-        )
+        if is_main:
+            print(
+                f"Device-resident training data: "
+                f"{bank_size_mb(dataset.train, size_hw):.0f} MB image bank"
+            )
         run_epoch = make_epoch_runner(model, tx, cfg, dataset.num_classes, mode)
         # overlap the (CPU-bound) decode of the image bank with the
         # (remote/compiler-bound) AOT compile of the epoch program
@@ -162,28 +169,58 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
         bank = bank_future.result()
         pool.shutdown()
         image_bank = (
-            replicate(mesh, jnp.asarray(bank)) if mesh is not None
+            replicate(mesh, bank) if mesh is not None
             else jax.device_put(jnp.asarray(bank))
         )
 
     def _put_plan(x):
+        """[S, G, ...] plan array -> group-sharded device array."""
         if mesh is None:
             return jnp.asarray(x)
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..parallel.mesh import DATA_AXIS
 
-        return jax.device_put(
-            jnp.asarray(x), NamedSharding(mesh, P(None, DATA_AXIS))
+        sh = NamedSharding(mesh, P(None, DATA_AXIS))
+        if n_proc == 1:
+            return jax.device_put(jnp.asarray(x), sh)
+        g0 = jax.process_index() * g_local
+        return jax.make_array_from_process_local_data(
+            sh, np.asarray(x[:, g0:g0 + g_local])
+        )
+
+    def _put_replicated(x):
+        if mesh is None:
+            return jnp.asarray(x)
+        return replicate(mesh, jnp.asarray(x)) if n_proc == 1 else replicate(
+            mesh, np.asarray(x)
+        )
+
+    def _local_view(tree):
+        """Host-local copy of replicated (global) arrays for validation.
+
+        Multi-host policy (divergence from the reference's rank-0-only eval
+        where other ranks idle at a barrier, modelling/bases.py:169,299-318):
+        every process runs the identical validation locally — same cost as
+        idling, no collective, and every process sees the same metric, which
+        keeps the best-checkpoint decision consistent across hosts."""
+        if n_proc == 1:
+            return tree
+        dev = jax.local_devices()[0]
+        return jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), dev), tree
         )
 
     metrics_out: Dict[str, float] = {}
     for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS):
         lr = lr_for_epoch(epoch, cfg)
         set_learning_rate(state.opt_state, lr)
-        # fold the process index in so hosts draw distinct augmentations
-        epoch_key = jax.random.fold_in(
-            jax.random.fold_in(base_key, epoch), jax.process_index()
-        )
+        # streaming path: fold the process index in so hosts draw distinct
+        # augmentations for their local groups. The resident path is ONE
+        # global SPMD program whose key input must be identical on every
+        # process (augment keys are split per-image over the global [G,PK]
+        # grid inside the program, so streams stay distinct per group).
+        global_key = jax.random.fold_in(base_key, epoch)
+        epoch_key = jax.random.fold_in(global_key, jax.process_index())
 
         t0 = time.time()
         # one profiler trace of the first trained epoch when TPU.PROFILE
@@ -214,8 +251,8 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
                     _put_plan(idx),
                     _put_plan(labels),
                     _put_plan(is_real),
-                    jnp.asarray(step_valid),
-                    epoch_key,
+                    _put_replicated(step_valid),
+                    _put_replicated(global_key) if n_proc > 1 else global_key,
                 )
                 agg = {k: [v] for k, v in mean_metrics.items()}
             else:
@@ -256,15 +293,17 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
             epoch_metrics["epoch_dist_ap"] = epoch_metrics.pop("step_dist_ap")
             epoch_metrics["epoch_dist_an"] = epoch_metrics.pop("step_dist_an")
         logger.log_metrics(epoch_metrics, step=epoch)
-        print(
-            f"epoch {epoch}: loss={epoch_metrics['epoch_train_loss']:.4f} "
-            f"lr={lr:.2e} steps={n_steps} "
-            f"({epoch_metrics['epoch_time_s']:.1f}s)"
-        )
+        if is_main:
+            print(
+                f"epoch {epoch}: loss={epoch_metrics['epoch_train_loss']:.4f} "
+                f"lr={lr:.2e} steps={n_steps} "
+                f"({epoch_metrics['epoch_time_s']:.1f}s)"
+            )
 
         if (epoch + 1) % cfg.SOLVER.EVAL_PERIOD == 0:
             val = run_validation(
-                cfg, model, state.params["model"], state.batch_stats,
+                cfg, model, _local_view(state.params["model"]),
+                _local_view(state.batch_stats),
                 dataset, use_centroids=cfg.MODEL.USE_CENTROIDS,
             )
             logger.log_metrics(val, step=epoch)
@@ -278,7 +317,8 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
     # end-of-training double test, both eval modes (misc.py:159-161)
     for use_centroids in (cfg.MODEL.USE_CENTROIDS, not cfg.MODEL.USE_CENTROIDS):
         val = run_validation(
-            cfg, model, state.params["model"], state.batch_stats,
+            cfg, model, _local_view(state.params["model"]),
+            _local_view(state.batch_stats),
             dataset, use_centroids=use_centroids,
         )
         tag = "centroids" if use_centroids else "plain"

@@ -17,7 +17,7 @@ from ..models.convert import graft, load_reference_checkpoint
 from .checkpoint import restore_state
 from .evaluate import run_validation
 from .fit import build_model_and_state, fit
-from .logging import MetricsLogger, next_version_dir
+from .logging import MetricsLogger, latest_version_dir, next_version_dir
 
 
 def load_model_for_test(cfg, dataset):
@@ -38,22 +38,45 @@ def load_model_for_test(cfg, dataset):
     return model, params_model, batch_stats
 
 
-def run_single(cfg, mode: str, logger_save_dir: str) -> Dict[str, float]:
-    if cfg.TPU.DEBUG_NANS:
-        import jax
+def allocate_version_dir(base: str, name: str) -> str:
+    """Race-free logs/<name>/version_N allocation across hosts.
 
+    Process 0 allocates (mkdir) the next version dir; everyone else picks
+    the newest one *after* a global barrier — the rank-zero analogue of
+    Lightning's logger version handling. Single-process: plain allocation.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return next_version_dir(base, name)
+    from jax.experimental import multihost_utils
+
+    if jax.process_index() == 0:
+        path = next_version_dir(base, name)
+        multihost_utils.sync_global_devices("version_dir")
+        return path
+    multihost_utils.sync_global_devices("version_dir")
+    return latest_version_dir(base, name)
+
+
+def run_single(cfg, mode: str, logger_save_dir: str) -> Dict[str, float]:
+    import jax
+
+    if cfg.TPU.DEBUG_NANS:
         jax.config.update("jax_debug_nans", True)
-    log_dir = next_version_dir(cfg.LOG_DIR, logger_save_dir)
-    print(f"Logging to {log_dir}")
-    with open(os.path.join(log_dir, "config.yml"), "w") as f:
-        f.write(cfg.dump())
+    is_main = jax.process_index() == 0
+    log_dir = allocate_version_dir(cfg.LOG_DIR, logger_save_dir)
+    if is_main:
+        print(f"Logging to {log_dir}")
+        with open(os.path.join(log_dir, "config.yml"), "w") as f:
+            f.write(cfg.dump())
 
     dataset = init_dataset(cfg.DATASETS.NAMES, cfg)
     dataset.print_statistics()
 
     if cfg.TEST.ONLY_TEST:
         model, params_model, batch_stats = load_model_for_test(cfg, dataset)
-        logger = MetricsLogger(log_dir, "test")
+        logger = MetricsLogger(log_dir, "test", enabled=is_main)
         out: Dict[str, float] = {}
         # test twice with USE_CENTROIDS toggled (misc.py:136-139)
         for use_centroids in (

@@ -65,5 +65,16 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def replicate(mesh: Mesh, tree):
+    """Fully replicate a host pytree over the mesh.
+
+    Multi-host: every process holds an identical full copy (seeded
+    identically / same files), so the global replicated array is assembled
+    from per-process local data.
+    """
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree,
+    )

@@ -60,5 +60,10 @@ def test_resume_from_periodic_checkpoint(ds_root, tmp_path):
     # metrics log shows it started at epoch 2
     import json
     with open(os.path.join(run2, "train", "metrics.jsonl")) as f:
-        steps = [json.loads(line)["step"] for line in f]
+        # skip the hyperparameter snapshot record (no "step" key)
+        steps = [
+            rec["step"]
+            for rec in map(json.loads, f)
+            if "step" in rec
+        ]
     assert min(steps) == 2
