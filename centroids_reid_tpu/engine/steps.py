@@ -17,6 +17,19 @@ so we apply a masked BatchNorm1d here rather than the model's flax BN
 (which is still used, with running stats, at eval). Masked semantics match
 torch BatchNorm1d: biased variance for normalisation, unbiased for the
 running-stat update, momentum 0.1.
+
+Cross-group BN running-stats policy (DOCUMENTED DIVERGENCE): torch DDP
+keeps *per-rank* running statistics and the saved checkpoint simply takes
+rank 0's copy (torch BatchNorm momentum convention,
+/root/reference/modelling/bases.py:83-84 — no SyncBatchNorm anywhere in the
+reference). Here the per-group updated stats are averaged across groups
+every step (loss_fn below): because each group's update is the affine
+``(1-m)*running + m*stat_g`` of a SHARED running value, the mean over
+groups equals ``(1-m)*running + m*mean_g(stat_g)`` — i.e. torch momentum
+semantics applied to the group-averaged batch statistic. This is
+deterministic, symmetric in the groups (no arbitrary rank-0 choice), and at
+G=1 is bit-identical to the reference. Oracle-tested at G>1 in
+tests/test_train_step.py::test_bn_running_stats_cross_group_policy.
 """
 
 from typing import Any, Callable, Dict

@@ -84,6 +84,60 @@ def test_train_step_runs_and_learns(mode, with_mocks):
     ).max() > 0
 
 
+def test_bn_running_stats_cross_group_policy():
+    """Cross-group BN running-stats policy vs the torch oracle (G>1).
+
+    Policy (documented divergence, engine/steps.py docstring): per-group
+    torch-momentum updates of the shared running value are averaged across
+    groups, which equals torch momentum applied to the group-averaged batch
+    statistic. The oracle is a real torch.nn.BatchNorm1d stepped on each
+    group's REAL rows (the reference filters mocks before bn,
+    train_ctl_model.py:69-74), updates averaged across groups."""
+    import torch
+
+    cfg = _cfg("ctl")
+    num_classes = 8
+    model = create_model(cfg, num_classes=num_classes)
+    state, tx = create_train_state(cfg, model, num_classes, seed=0)
+    step = jax.jit(make_train_step(model, tx, cfg, num_classes, "ctl"))
+    batch = _synthetic_batch(g=2, with_mocks=True, seed=3)
+
+    # the features the step's masked BNNeck saw (same params/stats, train
+    # mode is deterministic)
+    feats = []
+    for gi in range(2):
+        f, _ = model.apply(
+            {"params": state.params["model"],
+             "batch_stats": state.batch_stats},
+            batch["images"][gi], train=True, method=model.features,
+            mutable=["batch_stats"],
+        )
+        feats.append(np.asarray(f, np.float32))
+
+    rm0 = np.asarray(state.batch_stats["bnneck"]["mean"])
+    rv0 = np.asarray(state.batch_stats["bnneck"]["var"])
+
+    new_state, _ = step(state, batch)
+
+    # torch oracle: one BatchNorm1d per group from the same running stats
+    updates = []
+    for gi in range(2):
+        bn = torch.nn.BatchNorm1d(feats[gi].shape[1], momentum=0.1, eps=1e-5)
+        bn.running_mean.data = torch.from_numpy(rm0.copy())
+        bn.running_var.data = torch.from_numpy(rv0.copy())
+        bn.train()
+        real = np.asarray(batch["is_real"][gi])
+        bn(torch.from_numpy(feats[gi][real]))
+        updates.append((bn.running_mean.numpy(), bn.running_var.numpy()))
+
+    exp_mean = np.mean([u[0] for u in updates], axis=0)
+    exp_var = np.mean([u[1] for u in updates], axis=0)
+    got_mean = np.asarray(new_state.batch_stats["bnneck"]["mean"])
+    got_var = np.asarray(new_state.batch_stats["bnneck"]["var"])
+    np.testing.assert_allclose(got_mean, exp_mean, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_var, exp_var, rtol=1e-4, atol=1e-5)
+
+
 def test_lr_schedule_matches_reference_semantics():
     cfg = _cfg()
     cfg.SOLVER.BASE_LR = 3.5e-4

@@ -134,6 +134,114 @@ def randomize_params(params, seed=0):
 
 
 # ---------------------------------------------------------------------------
+# State-dict oracle — consumes a TORCH-convention state_dict directly (OIHW
+# convs, OI linears), so converter bugs cannot cancel out: the flax side goes
+# through models/convert.py while this side never does. Mirrors the reference
+# eval path emb = bn(avgpool(backbone(x))) (modelling/bases.py:169-177,
+# baseline.py:89-96) and logits = fc_query(emb) (bases.py:86-87).
+# ---------------------------------------------------------------------------
+
+
+def _sd_conv(x, sd, name, stride):
+    w = sd[name + ".weight"]
+    w = w if torch.is_tensor(w) else torch.from_numpy(np.asarray(w))
+    return F.conv2d(x, w.float(), stride=stride, padding=w.shape[2] // 2)
+
+
+def _sd_bn(x, sd, name):
+    def g(leaf):
+        v = sd[name + "." + leaf]
+        return (v if torch.is_tensor(v) else torch.from_numpy(np.asarray(v))).float()
+    return F.batch_norm(
+        x, g("running_mean"), g("running_var"), g("weight"), g("bias"),
+        training=False, eps=1e-5,
+    )
+
+
+def _sd_bottleneck(x, sd, prefix, stride):
+    out = F.relu(_sd_bn(_sd_conv(x, sd, prefix + ".conv1", 1), sd, prefix + ".bn1"))
+    out = F.relu(_sd_bn(_sd_conv(out, sd, prefix + ".conv2", stride), sd, prefix + ".bn2"))
+    out = _sd_bn(_sd_conv(out, sd, prefix + ".conv3", 1), sd, prefix + ".bn3")
+    residual = x
+    if prefix + ".downsample.0.weight" in sd:
+        residual = _sd_bn(
+            _sd_conv(x, sd, prefix + ".downsample.0", stride),
+            sd, prefix + ".downsample.1",
+        )
+    return F.relu(out + residual)
+
+
+def reid_embed_from_state_dict(x_nchw, sd, layers=(3, 4, 6, 3),
+                               last_stride=1, stem_relu=False,
+                               backbone_prefix="backbone."):
+    """Full reference eval path from a torch state_dict.
+
+    Returns (embeddings [N, D], logits [N, num_classes]). The plain ResNet
+    omits the stem ReLU (resnet.py:97,125)."""
+    x = torch.from_numpy(np.asarray(x_nchw)).float()
+    p = backbone_prefix
+    x = _sd_conv(x, sd, p + "conv1", 2)
+    x = _sd_bn(x, sd, p + "bn1")
+    if stem_relu:
+        x = F.relu(x)
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+    strides = (1, 2, 2, last_stride)
+    for stage, nblocks in enumerate(layers):
+        for b in range(nblocks):
+            stride = strides[stage] if b == 0 else 1
+            x = _sd_bottleneck(x, sd, f"{p}layer{stage + 1}.{b}", stride)
+    feat = F.adaptive_avg_pool2d(x, 1).flatten(1)     # baseline.py:89-96
+    emb = _sd_bn(feat, sd, "bn")                      # BNNeck, bases.py:83-84
+    w = sd["fc_query.weight"]
+    w = (w if torch.is_tensor(w) else torch.from_numpy(np.asarray(w))).float()
+    logits = emb @ w.T                                # bias-free, bases.py:86-87
+    return emb, logits
+
+
+def make_reference_state_dict(layers=(3, 4, 6, 3), num_classes=751,
+                              feat_dim=2048, seed=0):
+    """Random torch-convention state_dict shaped like a reference Lightning
+    checkpoint (backbone.* + bn.* + fc_query.weight + center_loss.centers)."""
+    rng = np.random.RandomState(seed)
+
+    def conv(o, i, k):
+        fan = i * k * k
+        return rng.normal(0, np.sqrt(2.0 / fan), (o, i, k, k)).astype(np.float32)
+
+    def bn(sd, name, c):
+        sd[name + ".weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[name + ".bias"] = rng.normal(0, 0.2, c).astype(np.float32)
+        sd[name + ".running_mean"] = rng.normal(0, 0.5, c).astype(np.float32)
+        sd[name + ".running_var"] = rng.uniform(0.5, 2.0, c).astype(np.float32)
+        sd[name + ".num_batches_tracked"] = np.asarray(100)
+
+    sd = {}
+    sd["backbone.conv1.weight"] = conv(64, 3, 7)
+    bn(sd, "backbone.bn1", 64)
+    inplanes = 64
+    for stage, nblocks in enumerate(layers):
+        planes = 64 * (2 ** stage)
+        for b in range(nblocks):
+            pre = f"backbone.layer{stage + 1}.{b}"
+            sd[pre + ".conv1.weight"] = conv(planes, inplanes, 1)
+            bn(sd, pre + ".bn1", planes)
+            sd[pre + ".conv2.weight"] = conv(planes, planes, 3)
+            bn(sd, pre + ".bn2", planes)
+            sd[pre + ".conv3.weight"] = conv(planes * 4, planes, 1)
+            bn(sd, pre + ".bn3", planes * 4)
+            if b == 0:
+                sd[pre + ".downsample.0.weight"] = conv(planes * 4, inplanes, 1)
+                bn(sd, pre + ".downsample.1", planes * 4)
+            inplanes = planes * 4
+    bn(sd, "bn", feat_dim)  # BNNeck
+    sd["fc_query.weight"] = rng.normal(
+        0, 0.01, (num_classes, feat_dim)).astype(np.float32)
+    sd["center_loss.centers"] = rng.normal(
+        0, 0.5, (num_classes, feat_dim)).astype(np.float32)
+    return sd
+
+
+# ---------------------------------------------------------------------------
 # Loss oracles — explicit-loop implementations of the documented reference
 # semantics (SURVEY.md §2.5, train_ctl_model.py:79-148), used to validate the
 # vectorised JAX losses.
