@@ -21,7 +21,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from centroids_reid_tpu.ops.retrieval import _G_TILE, _topk_pallas, _topk_xla
+from centroids_reid_tpu.ops.retrieval import (
+    _G_TILE,
+    _hier_topk,
+    _scores_pallas,
+    _scores_xla,
+    _topk_pallas,
+    _topk_xla,
+)
 
 
 def bench(fn, qf, gf, k, reps=20):
@@ -57,21 +64,28 @@ def main():
 
     import functools
 
-    pallas_packed = functools.partial(_topk_pallas, packed=True)
-    results = {
-        "pallas_bf16_packed_ms": bench(
-            pallas_packed, qf.astype(jnp.bfloat16), gf.astype(jnp.bfloat16),
-            args.k,
-        ) * 1e3,
-        "pallas_bf16_exact_merge_ms": bench(
-            _topk_pallas, qf.astype(jnp.bfloat16), gf.astype(jnp.bfloat16),
-            args.k,
-        ) * 1e3,
-        "xla_fp32_ms": bench(_topk_xla, qf, gf, args.k) * 1e3,
-    }
-    results.update(
-        gallery=args.gallery, queries=args.queries, dim=args.dim, k=args.k
-    )
+    def hier_pallas(qf_, gf_, gn_, k_):
+        return _hier_topk(_scores_pallas(qf_, gf_, gn_), k_)
+
+    def hier_xla(qf_, gf_, gn_, k_):
+        return _hier_topk(_scores_xla(qf_, gf_, gn_), k_)
+
+    results = {"gallery": args.gallery, "queries": args.queries,
+               "dim": args.dim}
+    qf16, gf16 = qf.astype(jnp.bfloat16), gf.astype(jnp.bfloat16)
+    for k in sorted({10, 100, args.k}):
+        # the default path (scores kernel + hierarchical selection), any k
+        results[f"hier_pallas_bf16_k{k}_ms"] = bench(
+            hier_pallas, qf16, gf16, k) * 1e3
+        results[f"hier_xla_fp32_exact_k{k}_ms"] = bench(
+            hier_xla, qf, gf, k) * 1e3
+        # round-1 baselines: streaming merge kernel (k<=32) and chunked XLA
+        if k <= 32:
+            pallas_packed = functools.partial(_topk_pallas, packed=True)
+            results[f"merge_pallas_bf16_k{k}_ms"] = bench(
+                pallas_packed, qf16, gf16, k) * 1e3
+        results[f"chunked_xla_fp32_k{k}_ms"] = bench(
+            _topk_xla, qf, gf, k) * 1e3
     print(json.dumps({k: round(v, 3) if isinstance(v, float) else v
                       for k, v in results.items()}))
 

@@ -1,18 +1,29 @@
-"""Fused distance-matrix + top-k retrieval (Pallas TPU kernel + XLA fallback).
+"""Fused distance-matrix + top-k retrieval (Pallas TPU kernel + XLA).
 
 The reference's retrieval path materialises the full Q x G distance matrix
 on the GPU, argsorts it on the host, and slices top-k
 (/root/reference/inference/get_similar.py:112-119); large galleries are
-chunked host-side (utils/reid_metric.py:93-110). On TPU the whole thing is
-one kernel: the grid walks gallery tiles, each step computes a
-[QT, GT] score block on the MXU (squared-euclidean reduced to
-``||g||^2 - 2 q.g`` — the ``||q||^2`` term is rank-invariant per query) and
-folds it into a running per-query top-k held in VMEM. HBM traffic is the
-gallery read, once; nothing of size Q x G is ever materialised.
+chunked host-side (utils/reid_metric.py:93-110).
 
-Scoring dtype: the dot product runs in the input dtype (fp32 by default for
-exact parity with the reference ranking; pass bf16 embeddings for ~2x
-throughput when 1e-2-relative score noise is acceptable).
+TPU design (round 2, k-independent): a Pallas kernel computes the fp32
+score matrix tile-by-tile on the MXU (squared-euclidean reduced to
+``||g||^2 - 2 q.g`` — the ``||q||^2`` term is rank-invariant per query);
+selection then runs as a *hierarchical group-min* top-k (``_hier_topk``):
+recursively take the k smallest of 8-column group minima (8x narrower per
+level), gather the <= 8k surviving columns, finish with one small
+``lax.top_k``. Exact in fp32 for any k, and the cost is a few bandwidth-
+bound scans instead of k unrolled merge passes — the round-1 kernel's
+limiter at k > 32 (the reference's own retrieval default is topk=100,
+get_similar.py flag surface).
+
+The round-1 streaming-merge kernel (``_topk_pallas``: running top-k in
+VMEM, packed-key merge per gallery tile) is kept below: it never
+materialises Q x G, which matters when HBM is tight, and it remains the
+measured baseline in benchmarks/bench_retrieval.py.
+
+Scoring dtype: fp32 inputs use an XLA HIGHEST-precision matmul (exact
+reference parity; Mosaic fp32 matmuls are slow); bf16 inputs use the Pallas
+score kernel with fp32 MXU accumulation (exact given bf16 inputs).
 """
 
 from __future__ import annotations
@@ -32,6 +43,8 @@ _Q_TILE = 128
 # [G_TILE, 2048] bf16 tiles).
 _G_TILE = 1024
 _INF = float("inf")  # plain float: jnp scalars would be captured consts in pallas
+# cap on the materialised fp32 score buffer; queries are chunked beyond it
+_SCORE_BUDGET_BYTES = 512 << 20
 
 
 def _merge_topk(best_val, best_idx, scores, idx_base, k):
@@ -123,6 +136,128 @@ def _merge_topk_packed(best_val, best_idx, scores, idx_base, k):
         jnp.stack(new_vals, axis=1),
         jnp.stack(new_idxs, axis=1).astype(jnp.int32),
     )
+
+
+def _score_block_kernel(q_ref, g_ref, gn_ref, out_ref):
+    """Fused score tile: ||g||^2 - 2 q.g on the MXU, fp32 accumulate."""
+    dots = jax.lax.dot_general(
+        q_ref[:], g_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = gn_ref[:] - 2.0 * dots
+
+
+@jax.jit
+def _scores_pallas(qf, gf, gn):
+    """[Qp, D] x [Gp, D] -> fp32 scores [Qp, Gp] (Pallas, bf16 inputs)."""
+    q, d = qf.shape
+    g = gf.shape[0]
+    grid = (q // _Q_TILE, g // _G_TILE)
+    return pl.pallas_call(
+        _score_block_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_Q_TILE, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_G_TILE, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _G_TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_Q_TILE, _G_TILE), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q, g), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * g * d,
+            bytes_accessed=q * d * 2 + g * d * 2 + q * g * 4,
+            transcendentals=0,
+        ),
+    )(qf, gf, gn)
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _scores_xla(qf, gf, gn, precision=jax.lax.Precision.HIGHEST):
+    """XLA score matrix (fp32 path: Mosaic fp32 matmuls are slow, XLA's
+    are fine; HIGHEST keeps fp32-exact dot products for reference parity)."""
+    dots = jax.lax.dot_general(
+        qf, gf,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    return gn - 2.0 * dots
+
+
+def _hier_topk_build(scores, k: int):
+    """Exact top-k-smallest via hierarchical group-min pruning.
+
+    Invariant (proof in docstring of topk_retrieval): the k smallest
+    elements of a row live inside the k groups (of 8 consecutive columns)
+    with the k smallest group minima — if an element's group were outside,
+    k whole groups would each hold a strictly-earlier-ranked element. So:
+    recursively top-k the group-min vector (8x narrower per level), gather
+    the ≤ 8k member columns, and finish with one small lax.top_k. Work is
+    O(Q*W) elementwise mins + O(Q * 8k log) sorting — k-independent scans,
+    no per-tile merge passes (the round-1 kernel's limiter at k > 32).
+    """
+    q, w = scores.shape
+    # Base case measured on v5e (benchmarks/bench_retrieval.py): XLA's TopK
+    # on [128, 12544] costs ~1 ms while each take_along_axis gather costs
+    # ~1 ms regardless of width — so recurse only while a direct top_k is
+    # pricier than one more (gather + small top_k) level. At 100k galleries
+    # this means exactly one min level and ONE gather.
+    if w <= max(16384, 8 * k):
+        v, i = jax.lax.top_k(-scores, k)
+        return -v, i
+    pad = (-w) % 8
+    if pad:
+        scores = jnp.concatenate(
+            [scores, jnp.full((q, pad), _INF, scores.dtype)], axis=1
+        )
+    w8 = scores.shape[1] // 8
+    # STRIDED groups (group j = columns {j, j+w8, ..., j+7*w8}): the min
+    # reduces over the middle axis of [Q, 8, w8], keeping the long axis in
+    # lanes — a contiguous [.., 8] reduction would put 8 elements in a
+    # 128-lane register (16x waste). Any disjoint 8-partition satisfies the
+    # pruning proof.
+    gm = jnp.min(scores.reshape(q, 8, w8), axis=1)
+    _, gsel = _hier_topk_build(gm, k)                      # [Q, k] group ids
+    cols = (gsel[:, :, None]
+            + w8 * jax.lax.broadcasted_iota(jnp.int32, (q, k, 8), 2))
+    cols = cols.reshape(q, k * 8)
+    vals = jnp.take_along_axis(scores, cols, axis=1)
+    v, sel = jax.lax.top_k(-vals, k)
+    return -v, jnp.take_along_axis(cols, sel, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _hier_topk(scores, k: int):
+    return _hier_topk_build(scores, k)
+
+
+def _scores_pallas_maybe_interpret(qc, gf, gn_row, interpret: bool):
+    if not interpret:
+        return _scores_pallas(qc, gf, gn_row)
+    # interpret mode (CPU tests): rebuild the call uncached with interpret
+    q, d = qc.shape
+    g = gf.shape[0]
+    return pl.pallas_call(
+        _score_block_kernel,
+        grid=(q // _Q_TILE, g // _G_TILE),
+        in_specs=[
+            pl.BlockSpec((_Q_TILE, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_G_TILE, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _G_TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_Q_TILE, _G_TILE), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q, g), jnp.float32),
+        interpret=True,
+    )(qc, gf, gn_row)
 
 
 def _retrieval_kernel(q_ref, g_ref, gn_ref, val_ref, idx_ref, *, k, packed):
@@ -244,13 +379,23 @@ def topk_retrieval(
     reference's eval-flavour functions: squared euclidean without sqrt
     (reid_metric.py:25-33) or ``|1 - cos|`` (:51-59).
 
-    Kernel policy (measured on v5e, 100k x 2048 gallery, Q=128):
-    * bf16 inputs -> Pallas kernel, ~2.5 ms;
-    * fp32 inputs + ``approx=True`` -> cast to bf16, Pallas (~1e-2 relative
-      score noise, can swap near-tied neighbours);
-    * fp32 exact -> chunked XLA path (~5.3 ms) — fp32 matmuls inside Mosaic
-      are catastrophically slow (multi-pass MXU lowering), so Pallas is
-      reserved for bf16.
+    Kernel policy (v5e, 100k x 2048 gallery, Q=128; see
+    benchmarks/bench_retrieval.py for current numbers):
+    * bf16 inputs -> Pallas score kernel + hierarchical exact top-k;
+    * fp32 inputs + ``approx=True`` -> cast to bf16, same path (~1e-2
+      relative score noise from the cast, can swap near-tied neighbours);
+    * fp32 exact -> XLA HIGHEST-precision score matmul + the same
+      hierarchical top-k (fp32 matmuls inside Mosaic are catastrophically
+      slow, so Pallas is reserved for bf16).
+    Any k is supported at full speed (selection work is k-independent
+    scans; round 1's per-tile merge kernel degraded past k=32).
+
+    Correctness of the hierarchical pruning: if a top-k element's 8-column
+    group were NOT among the k groups with the k smallest minima, then k
+    other groups would each contain an element ranked strictly before it
+    (their minima), contradicting its top-k membership. Ties break toward
+    lower column index at every level, which keeps the guarantee under
+    duplicates (top_k breaks ties by position).
     """
     qf = jnp.asarray(qf)
     gf = jnp.asarray(gf)
@@ -258,10 +403,9 @@ def topk_retrieval(
         qf = qf.astype(jnp.bfloat16)
         gf = gf.astype(jnp.bfloat16)
     if use_pallas and qf.dtype != jnp.bfloat16 and not interpret:
-        use_pallas = False  # exact fp32: XLA path is the fast one
-    if use_pallas and k > 32 and not interpret:
-        # the kernel unrolls k selection passes per gallery tile; past ~32
-        # the merge dwarfs the matmul and the XLA top_k path wins
+        # exact fp32: Mosaic fp32 matmuls are slow (multi-pass MXU
+        # lowering); the XLA score matmul at HIGHEST precision is fast and
+        # fp32-exact. Selection is shared (hierarchical) either way.
         use_pallas = False
     if dist == "cosine":
         in_dtype = qf.dtype
@@ -293,36 +437,59 @@ def topk_retrieval(
     gn_row = gnorm2[None, :]
 
     q = qf.shape[0]
-    pad_q = (-q) % _Q_TILE
-    if use_pallas:
-        if pad_q:
-            qf_p = jnp.concatenate(
-                [qf, jnp.zeros((pad_q, qf.shape[1]), qf.dtype)], axis=0
-            )
-        else:
-            qf_p = qf
-        # bf16 inputs use the packed-key merge (1 reduce/pass instead of 3);
-        # winners are re-scored exactly below, so only the top-k *selection*
-        # happens at bf16 resolution — which is the bf16 input resolution
-        # anyway.
-        packed = qf.dtype == jnp.bfloat16
+    gp = gf.shape[0]
+
+    if use_pallas and qf.dtype == jnp.bfloat16 and k_eff <= 32:
+        # small k: the round-1 streaming merge kernel wins (no Q x G score
+        # buffer, ~1.9 ms vs ~2.7 ms hierarchical at k=10/100k-gallery);
+        # selection at bf16 resolution, winners re-scored exactly below
+        pad_q = (-q) % _Q_TILE
+        qf_p = jnp.concatenate(
+            [qf, jnp.zeros((pad_q, qf.shape[1]), qf.dtype)], axis=0
+        ) if pad_q else qf
         val, idx = _topk_pallas(
-            qf_p, gf, gn_row, k_eff, interpret=interpret, packed=packed
+            qf_p, gf, gn_row, k_eff, interpret=interpret, packed=True
         )
         val, idx = val[:q], idx[:q]
-        if packed:
-            g_sel = jnp.take(gf, idx, axis=0).astype(jnp.float32)
-            gn_sel = jnp.take(gnorm2, idx, axis=0)
-            dots = jnp.einsum(
-                "qd,qkd->qk", qf.astype(jnp.float32), g_sel
-            )
-            val = gn_sel - 2.0 * dots
-            order = jnp.argsort(val, axis=1, stable=True)
-            val = jnp.take_along_axis(val, order, axis=1)
-            idx = jnp.take_along_axis(idx, order, axis=1)
-    else:
-        val, idx = _topk_xla(qf, gf, gn_row, k_eff)
+        g_sel = jnp.take(gf, idx, axis=0).astype(jnp.float32)
+        gn_sel = jnp.take(gnorm2, idx, axis=0)
+        dots = jnp.einsum("qd,qkd->qk", qf.astype(jnp.float32), g_sel)
+        val = gn_sel - 2.0 * dots
+        order = jnp.argsort(val, axis=1, stable=True)
+        val = jnp.take_along_axis(val, order, axis=1)
+        idx = jnp.take_along_axis(idx, order, axis=1)
+        return _finalize_distances(val, idx, qf, q, dist)
 
+    # chunk queries so the fp32 score buffer stays bounded
+    chunk = max(_Q_TILE, min(4096, (_SCORE_BUDGET_BYTES // (gp * 4))
+                             // _Q_TILE * _Q_TILE))
+    vals_c, idxs_c = [], []
+    for start in range(0, q, chunk):
+        qc = qf[start:start + chunk]
+        rows = qc.shape[0]
+        # pad to one static shape per run: full chunks when looping,
+        # else the next _Q_TILE multiple
+        target = chunk if q > chunk else -(-rows // _Q_TILE) * _Q_TILE
+        pad_rows = target - rows
+        if pad_rows:
+            qc = jnp.concatenate(
+                [qc, jnp.zeros((pad_rows, qc.shape[1]), qc.dtype)], axis=0
+            )
+        if use_pallas:
+            scores = _scores_pallas_maybe_interpret(qc, gf, gn_row, interpret)
+        else:
+            scores = _scores_xla(qc, gf, gn_row)
+        v, i = _hier_topk(scores, k_eff)
+        vals_c.append(v[:rows])
+        idxs_c.append(i[:rows])
+    val = jnp.concatenate(vals_c, axis=0)
+    idx = jnp.concatenate(idxs_c, axis=0)
+    return _finalize_distances(val, idx, qf, q, dist)
+
+
+def _finalize_distances(val, idx, qf, q, dist):
+    """Scores -> reference distance flavour (add back the rank-invariant
+    ||q||^2 term / map to |1 - cos|)."""
     if dist == "cosine":
         sim = (1.0 - val) / 2.0
         val = jnp.clip(jnp.abs(1.0 - sim), min=1e-12)

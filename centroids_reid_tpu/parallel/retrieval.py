@@ -13,11 +13,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # the experimental entry point is used deliberately: it accepts
-# check_rep=False, which the scan-carry inside _topk_xla needs (the carry
-# is unvarying over the gallery axis until the first merge step)
+# check_rep=False, which the local hierarchical selection needs (its
+# intermediate values are unvarying over the gallery axis until the merge)
 from jax.experimental.shard_map import shard_map  # noqa: F401
 
-from ..ops.retrieval import _topk_xla
+from ..ops.retrieval import _hier_topk_build
 from .mesh import GALLERY_AXIS
 
 
@@ -63,7 +63,17 @@ def sharded_topk(qf, gf, k: int, mesh: Mesh, dist: str = "euclidean"):
             gn = jnp.where(row_ids < g, gn, jnp.inf)
         if dist == "cosine":
             gn = jnp.where(jnp.isinf(gn), gn, 1.0)
-        val, idx = _topk_xla(qf_l, gf_l, gn, k_eff)
+        dots = jax.lax.dot_general(
+            qf_l, gf_l,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if qf_l.dtype == jnp.float32 else None),
+        )
+        # a shard may hold fewer than k rows; the all-gather still yields
+        # >= k_eff candidates because n * shard_rows >= G >= k_eff
+        k_local = min(k_eff, shard_rows)
+        val, idx = _hier_topk_build(gn - 2.0 * dots, k_local)
         idx = idx + jax.lax.axis_index(GALLERY_AXIS) * shard_rows
         allv = jax.lax.all_gather(val, GALLERY_AXIS, axis=1, tiled=True)
         alli = jax.lax.all_gather(idx, GALLERY_AXIS, axis=1, tiled=True)

@@ -72,6 +72,60 @@ def test_topk_handles_duplicate_distances():
     np.testing.assert_allclose(np.sort(val[0]), np.sort(val2[0]), rtol=1e-6)
 
 
+def test_topk_k100_hierarchical_matches_numpy():
+    """k=100 (the reference retrieval CLI default) through the multi-level
+    hierarchical selection: 20000 -> 2500 -> 313 -> direct top_k."""
+    rng = np.random.RandomState(4)
+    qf = rng.randn(7, 16).astype(np.float32)
+    gf = rng.randn(20000, 16).astype(np.float32)
+    k = 100
+    val, idx = topk_retrieval(qf, gf, k, use_pallas=False)
+    rval, ridx = _numpy_topk(qf, gf, k, "euclidean")
+    np.testing.assert_allclose(val, rval, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(idx, ridx)
+
+
+def test_topk_query_chunking(monkeypatch):
+    """Queries are processed in bounded chunks; results match unchunked."""
+    import centroids_reid_tpu.ops.retrieval as R
+
+    rng = np.random.RandomState(5)
+    qf = rng.randn(300, 16).astype(np.float32)
+    gf = rng.randn(600, 16).astype(np.float32)
+    # gallery pads to 1024 -> 4 KB/row; force a 128-row chunk
+    monkeypatch.setattr(R, "_SCORE_BUDGET_BYTES", 128 * 1024 * 4)
+    val, idx = R.topk_retrieval(qf, gf, 13, use_pallas=False)
+    rval, ridx = _numpy_topk(qf, gf, 13, "euclidean")
+    np.testing.assert_allclose(val, rval, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(idx, ridx)
+
+
+def test_hier_topk_levels_and_ties():
+    """_hier_topk against numpy over widths spanning 1..3 levels, incl. a
+    constant row (all ties) and +inf padding columns."""
+    from centroids_reid_tpu.ops.retrieval import _hier_topk
+
+    rng = np.random.RandomState(6)
+    for w in (64, 1025, 9000, 70000):
+        x = rng.randn(3, w).astype(np.float32)
+        x[1, :] = 1.0  # full tie row
+        if w > 100:
+            x[2, -50:] = np.inf
+        for k in (1, 5, 100):
+            k_eff = min(k, w)
+            v, i = _hier_topk(np.asarray(x), k_eff)
+            v, i = np.asarray(v), np.asarray(i)
+            order = np.argsort(x, axis=1, kind="stable")[:, :k_eff]
+            np.testing.assert_allclose(
+                v, np.take_along_axis(x, order, axis=1), rtol=1e-6
+            )
+            # indices must retrieve the same multiset of values
+            np.testing.assert_allclose(
+                np.take_along_axis(x, i, axis=1), v, rtol=1e-6
+            )
+            assert (np.diff(v, axis=1) >= 0).all()
+
+
 def test_topk_pallas_packed_merge_interpret():
     """bf16 packed-key merge: selection at bf16 resolution, exact re-scored
     distances, correct set up to bf16 near-ties."""
