@@ -33,9 +33,13 @@ def main():
     p.add_argument("--instances", type=int, default=4)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--mode", choices=["ctl", "base"], default="ctl")
+    p.add_argument("--fp32", action="store_true",
+                   help="canonical Market recipe precision "
+                        "(USE_MIXED_PRECISION False)")
     args = p.parse_args()
 
     cfg = get_default_cfg()
+    cfg.USE_MIXED_PRECISION = not args.fp32
     cfg.SOLVER.IMS_PER_BATCH = args.pids
     cfg.DATALOADER.NUM_INSTANCE = args.instances
     num_classes = 751
@@ -53,7 +57,8 @@ def main():
                        args.instances)
     batch = {
         "images": jnp.asarray(
-            rng.randn(1, pk, 256, 128, 3), jnp.bfloat16
+            rng.randn(1, pk, 256, 128, 3),
+            jnp.bfloat16 if cfg.USE_MIXED_PRECISION else jnp.float32
         ),
         "labels": jnp.asarray(labels)[None],
         "is_real": jnp.ones((1, pk), bool),

@@ -133,6 +133,14 @@ def get_default_cfg() -> ConfigNode:
     # Debug aid: abort on the first NaN/Inf produced on device
     # (jax_debug_nans). The reference has no sanitizers (SURVEY.md §5).
     _C.TPU.DEBUG_NANS = False
+    # Matmul/conv precision for fp32 runs (jax_default_matmul_precision).
+    # IMPORTANT: XLA's TPU default lowers fp32 convolutions to single-pass
+    # bf16 MXU operands (verified by HLO inspection — see README
+    # "Performance notes"), so USE_MIXED_PRECISION False buys fp32
+    # *activation storage and BN/loss math*, not fp32 conv arithmetic.
+    # "high" (bf16_3x, ~1.4x step time) or "highest" (fp32-exact, ~2.1x)
+    # opt into more conv precision.
+    _C.TPU.MATMUL_PRECISION = "default"
 
     return _C
 

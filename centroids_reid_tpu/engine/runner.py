@@ -64,6 +64,10 @@ def run_single(cfg, mode: str, logger_save_dir: str) -> Dict[str, float]:
 
     if cfg.TPU.DEBUG_NANS:
         jax.config.update("jax_debug_nans", True)
+    if cfg.TPU.MATMUL_PRECISION != "default":
+        jax.config.update(
+            "jax_default_matmul_precision", cfg.TPU.MATMUL_PRECISION
+        )
     is_main = jax.process_index() == 0
     log_dir = allocate_version_dir(cfg.LOG_DIR, logger_save_dir)
     if is_main:
