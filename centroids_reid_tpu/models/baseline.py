@@ -33,11 +33,13 @@ class ReidModel(nn.Module):
     backbone_name: str = "resnet50"
     last_stride: int = 1
     num_classes: int = 0
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = build_backbone(
-            self.backbone_name, self.last_stride, dtype=self.dtype
+            self.backbone_name, self.last_stride, dtype=self.dtype,
+            s2d_stem=self.s2d_stem,
         )
         self.bn = nn.BatchNorm(
             use_running_average=None,  # passed at call time
@@ -91,6 +93,7 @@ def create_model(cfg, num_classes: int = 0) -> ReidModel:
         backbone_name=cfg.MODEL.NAME,
         last_stride=cfg.MODEL.LAST_STRIDE,
         num_classes=num_classes,
+        s2d_stem=cfg.TPU.SPACE_TO_DEPTH_STEM,
         dtype=dtype,
     )
 

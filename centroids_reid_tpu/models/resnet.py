@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -82,6 +83,58 @@ def _conv(features: int, kernel: int, stride: int, dtype, name: str):
         kernel_init=conv_init,
         name=name,
     )
+
+
+class StemConv(nn.Module):
+    """The 7x7/stride-2 stem conv, optionally computed space-to-depth.
+
+    The parameter is always stored in the reference convention — shape
+    ``(7, 7, C, 64)`` under ``conv1/kernel`` — so checkpoints, the torch
+    converter, and parity tests are identical for both code paths.
+
+    With ``s2d`` (the TPU-friendly path, MLPerf-style): the input is
+    space-to-depth(2) rearranged to ``[N, H/2, W/2, 4C]`` and convolved with
+    a 4x4/stride-1 kernel derived from the 7x7 weights. Derivation: the
+    reference stem (resnet.py:93, padding 3) computes
+    ``y[o] = sum_kh x[2o + kh - 3] W[kh]``; substituting ``i = 2j + d``
+    (``d`` the within-pair offset) gives ``kh = 2u + d - 1`` with
+    ``u = j - o + 2`` in [0, 4), i.e. a 4-tap conv over s2d rows with the
+    7x7 kernel zero-padded to 8x8 at the top-left and regrouped as
+    ``(u, v, (dh, dw, c))``. Padding (2, 1) reproduces the original zero
+    padding of 3. Exactly the same arithmetic terms (the extra taps are
+    structural zeros), so numerics match up to reduction order — but the
+    MXU sees 4C=12 input channels at half the spatial size instead of a
+    3-channel 7x7 conv it handles poorly.
+    """
+
+    features: int = 64
+    s2d: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        # Same param name/shape/init as nn.Conv(name="conv1") would create.
+        kernel7 = self.param(
+            "kernel", conv_init, (7, 7, c, self.features), jnp.float32
+        )
+        if not self.s2d or h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel7.astype(self.dtype),
+                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        # 7x7 -> 8x8 zero pad at the top-left: tap index kh = 2u + dh - 1.
+        k8 = jnp.pad(kernel7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k4 = k8.reshape(4, 2, 4, 2, c, self.features)
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        xs = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), k4.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class BasicBlock(nn.Module):
@@ -162,15 +215,12 @@ class ResNet(nn.Module):
     last_stride: int = 1
     ibn: bool = False
     stem_relu: bool = False
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, kernel_init=conv_init,
-            name="conv1",
-        )(x)
+        x = StemConv(64, s2d=self.s2d_stem, dtype=self.dtype, name="conv1")(x)
         x = _norm(train, self.dtype, "bn1")(x)
         if self.stem_relu:  # IBN-a keeps it; plain reference ResNet omits it
             x = nn.relu(x)
@@ -223,7 +273,9 @@ def backbone_emb_size(name: str) -> int:
     return _ARCHS[name]["emb"]
 
 
-def build_backbone(name: str, last_stride: int = 1, dtype=jnp.float32) -> ResNet:
+def build_backbone(
+    name: str, last_stride: int = 1, dtype=jnp.float32, s2d_stem: bool = False
+) -> ResNet:
     if name not in _ARCHS:
         raise ValueError(f"Unknown backbone {name}; options: {sorted(_ARCHS)}")
     spec = _ARCHS[name]
@@ -234,6 +286,7 @@ def build_backbone(name: str, last_stride: int = 1, dtype=jnp.float32) -> ResNet
         ibn=spec["ibn"],
         # IBN-a keeps the stem ReLU; the plain local ResNet copy omits it.
         stem_relu=spec["ibn"],
+        s2d_stem=s2d_stem,
         dtype=dtype,
         name=None,
     )

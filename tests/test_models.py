@@ -137,3 +137,42 @@ def test_reid_model_embed_is_bn_of_gap():
         method=model.embed,
     )
     np.testing.assert_allclose(np.asarray(emb), np.asarray(bn_feat), atol=1e-5)
+
+
+def test_s2d_stem_matches_plain_stem():
+    """The space-to-depth stem is an exact rearrangement of the 7x7/s2 conv.
+
+    Same (7,7,3,64) parameter, same output (up to reduction order), same
+    gradient — and odd input sizes fall back to the plain path. Covers the
+    TPU.SPACE_TO_DEPTH_STEM default-on path against the reference stem
+    (/root/reference/modelling/backbones/resnet.py:93)."""
+    from centroids_reid_tpu.models.resnet import StemConv
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 32, 3), jnp.float32)
+    plain, s2d = StemConv(64, s2d=False), StemConv(64, s2d=True)
+    v = plain.init(rng, x)
+    assert v["params"]["kernel"].shape == (7, 7, 3, 64)
+
+    y0, y1 = plain.apply(v, x), s2d.apply(v, x)
+    assert y0.shape == y1.shape == (2, 32, 16, 64)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)
+
+    def loss(mod, v, x):
+        return (mod.apply(v, x) ** 2).sum()
+
+    g0 = jax.grad(lambda v: loss(plain, v, x))(v)["params"]["kernel"]
+    g1 = jax.grad(lambda v: loss(s2d, v, x))(v)["params"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(g0), np.asarray(g1), rtol=2e-4, atol=1e-3
+    )
+
+    gx0 = jax.grad(lambda x: loss(plain, v, x))(x)
+    gx1 = jax.grad(lambda x: loss(s2d, v, x))(x)
+    np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1), atol=2e-4)
+
+    # odd spatial size: both modules share params and agree via fallback
+    xo = jax.random.normal(jax.random.PRNGKey(2), (1, 63, 33, 3), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(plain.apply(v, xo)), np.asarray(s2d.apply(v, xo)), atol=2e-5
+    )
