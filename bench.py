@@ -107,56 +107,42 @@ def _train_imgs_per_sec(mixed_precision: bool) -> float:
 
 
 def _e2e_embed_imgs_per_sec() -> float:
-    """Host decode -> H2D -> normalize -> embed -> sync, end to end.
-
-    The full serving ingest path (not just device compute): JPEG decode on
-    the host, uint8 transfer, on-device normalize + ResNet-50 embed."""
-    import io
+    """End-to-end offline embedding over JPEG files on disk — the real
+    ``create_embeddings`` surface (``run_inference``): threaded host decode
+    pipelined against async device dispatch, uint8 H2D, on-device
+    normalize + ResNet-50 embed, embeddings fetched back to host."""
+    import os
+    import tempfile
 
     import numpy as np
     from PIL import Image
 
     from centroids_reid_tpu.config import get_default_cfg
-    from centroids_reid_tpu.data import normalize_batch
+    from centroids_reid_tpu.inference.utils import run_inference
     from centroids_reid_tpu.models import create_model, init_model
 
     cfg = get_default_cfg()
+    cfg.TPU.CACHE_IMAGES = False  # honest cold-decode numbers
     model = create_model(cfg, num_classes=0)
     params, batch_stats = init_model(model, jax.random.PRNGKey(0), (256, 128))
-    mean = tuple(cfg.INPUT.PIXEL_MEAN)
-    std = tuple(cfg.INPUT.PIXEL_STD)
-
-    @jax.jit
-    def embed(p, bs, imgs_u8):
-        x = normalize_batch(imgs_u8, mean, std, dtype=jnp.bfloat16)
-        return model.apply(
-            {"params": p, "batch_stats": bs}, x, method=model.embed
-        )
 
     rng = np.random.RandomState(0)
-    n = 64
-    jpegs = []
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    n = 256
+    paths = []
     for i in range(n):
-        buf = io.BytesIO()
+        p = os.path.join(tmp, f"{i:04d}.jpg")
         Image.fromarray(
             rng.randint(0, 255, (256, 128, 3), np.uint8)
-        ).save(buf, "JPEG")
-        jpegs.append(buf.getvalue())
+        ).save(p, "JPEG")
+        paths.append(p)
 
-    def serve_once():
-        imgs = np.stack([
-            np.asarray(Image.open(io.BytesIO(b)).convert("RGB"), np.uint8)
-            for b in jpegs
-        ])
-        e = embed(params, batch_stats, jnp.asarray(imgs))
-        float(e.sum())
-
-    serve_once()  # compile
-    reps = 5
+    run_inference(model, cfg, params, batch_stats, paths[:8], 10**9)  # warmup
     t0 = time.time()
-    for _ in range(reps):
-        serve_once()
-    return n * reps / (time.time() - t0)
+    embs, _ = run_inference(model, cfg, params, batch_stats, paths, 10**9)
+    dt = time.time() - t0
+    assert embs.shape == (n, 2048)
+    return n / dt
 
 
 def _extra_rows():

@@ -89,13 +89,29 @@ def run_inference(
     loader = EvalLoader(records, cfg)
     embed = make_embed_fn(model, cfg)
     embs = []
+    # Keep up to two batches in flight: JAX dispatch is async, so deferring
+    # the host fetch (np.asarray) overlaps D2H of batch i with H2D+compute
+    # of batch i+1 — on top of EvalLoader's threaded decode prefetch. This
+    # matters through high-latency device links (each sync is a roundtrip).
+    pending: list = []
+
+    def drain_one():
+        e, valid = pending.pop(0)
+        embs.append(np.asarray(e)[valid])
+
     for pos, batch in enumerate(loader):
         if pos % print_freq == 0:
             log.info(
                 f"Number of processed images: {pos * loader.batch_size}"
             )
-        e = np.asarray(embed(params_model, batch_stats, batch["images"]))
-        embs.append(e[batch["valid"]])
+        pending.append(
+            (embed(params_model, batch_stats, batch["images"]),
+             batch["valid"])
+        )
+        if len(pending) > 2:
+            drain_one()
+    while pending:
+        drain_one()
     return np.concatenate(embs, axis=0), np.asarray(image_paths)
 
 
