@@ -19,7 +19,6 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
-import numpy as np
 
 from centroids_reid_tpu.ops.retrieval import (
     _G_TILE,
@@ -33,7 +32,13 @@ from centroids_reid_tpu.ops.retrieval import (
 
 def bench(fn, qf, gf, k, reps=20):
     d = gf.shape[1]
-    gn = jnp.sum(gf.astype(jnp.float32) ** 2, axis=1)[None, :]
+    # f32 accumulation WITHOUT materialising an f32 copy of the gallery
+    # (a 1M x 2048 f32 copy is 8 GB of HBM)
+    gn = jax.jit(
+        lambda g: jnp.einsum(
+            "gd,gd->g", g, g, preferred_element_type=jnp.float32
+        )[None, :]
+    )(gf)
     pad = (-gf.shape[0]) % _G_TILE
     if pad:
         gf = jnp.concatenate([gf, jnp.zeros((pad, d), gf.dtype)])
@@ -56,11 +61,21 @@ def main():
     p.add_argument("--queries", type=int, default=128)
     p.add_argument("--dim", type=int, default=2048)
     p.add_argument("--k", type=int, default=10)
+    p.add_argument(
+        "--bf16-only", action="store_true",
+        help="skip the fp32 paths (required above ~500k: the fp32 gallery "
+        "copy plus the bf16 one exceed HBM at 1M x 2048)",
+    )
     args = p.parse_args()
 
-    rng = np.random.RandomState(0)
-    gf = jnp.asarray(rng.randn(args.gallery, args.dim), jnp.float32)
-    qf = jnp.asarray(rng.randn(args.queries, args.dim), jnp.float32)
+    # generate on device: a 1M x 2048 host float64 array would be 16 GB
+    gen_dtype = jnp.bfloat16 if args.bf16_only else jnp.float32
+    gf = jax.random.normal(
+        jax.random.PRNGKey(0), (args.gallery, args.dim), gen_dtype
+    )
+    qf = jax.random.normal(
+        jax.random.PRNGKey(1), (args.queries, args.dim), gen_dtype
+    )
 
     import functools
 
@@ -77,6 +92,8 @@ def main():
         # the default path (scores kernel + hierarchical selection), any k
         results[f"hier_pallas_bf16_k{k}_ms"] = bench(
             hier_pallas, qf16, gf16, k) * 1e3
+        if args.bf16_only:
+            continue
         results[f"hier_xla_fp32_exact_k{k}_ms"] = bench(
             hier_xla, qf, gf, k) * 1e3
         # round-1 baselines: streaming merge kernel (k<=32) and chunked XLA
