@@ -33,19 +33,35 @@ def build_image_bank(
     import concurrent.futures
     import os
 
-    store = ImageStore(size_hw, cache=cache)
+    from ..native import decode_resize_batch
+
     h, w = size_hw
     bank = np.zeros((len(records), h, w, 3), np.uint8)
     workers = num_workers or min(32, os.cpu_count() or 1)
 
+    # Native fast path: GIL-free threaded C++ decode straight into the
+    # bank (bit-exact vs the PIL path, tests/test_native.py); per-image
+    # failures (non-JPEG files etc.) are re-decoded below via PIL.
+    blobs = []
+    for rec in records:
+        with open(rec.path, "rb") as f:
+            blobs.append(f.read())
+    res = decode_resize_batch(blobs, size_hw, out=bank, n_threads=workers)
+    if res is not None:
+        _, todo = res
+    else:
+        todo = list(range(len(records)))
+
+    store = ImageStore(size_hw, cache=cache)
+
     def fill(i):
         bank[i] = store.get(records[i].path)
 
-    if workers > 1:
+    if len(todo) > 1 and workers > 1:
         with concurrent.futures.ThreadPoolExecutor(workers) as pool:
-            list(pool.map(fill, range(len(records))))
+            list(pool.map(fill, todo))
     else:
-        for i in range(len(records)):
+        for i in todo:
             fill(i)
     return bank
 

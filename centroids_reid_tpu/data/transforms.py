@@ -35,9 +35,21 @@ def load_and_resize(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
     """Host: decode to RGB and resize to (H, W). Returns uint8 [H, W, 3].
 
     PIL's BILINEAR matches torchvision T.Resize default interpolation.
+    JPEGs take the native C++ path when available (bit-exact vs PIL —
+    same libjpeg defaults, same fixed-point resample; see
+    centroids_reid_tpu/native and tests/test_native.py) and fall back to
+    PIL for anything the native decoder declines (PNG, CMYK, corrupt).
     """
+    from ..native import decode_resize
+
     with open(path, "rb") as f:
-        img = Image.open(f).convert("RGB")
+        data = f.read()
+    out = decode_resize(data, size_hw)
+    if out is not None:
+        return out
+    import io
+
+    img = Image.open(io.BytesIO(data)).convert("RGB")
     h, w = size_hw
     img = img.resize((w, h), Image.BILINEAR)
     return np.asarray(img, np.uint8)

@@ -1,0 +1,133 @@
+"""Native C++ decode+resize vs the PIL oracle.
+
+The native path must be BIT-EXACT against PIL's decode (shared
+libjpeg-turbo defaults) + ``Image.resize(..., BILINEAR)`` (torchvision
+T.Resize semantics, /root/reference/datasets/transforms/build.py) so the
+two paths are interchangeable mid-dataset. Failures must fall back
+per-image, never crash.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from centroids_reid_tpu.native import (
+    available,
+    decode_resize,
+    decode_resize_batch,
+)
+
+pytestmark = pytest.mark.skipif(
+    not available(), reason="native decoder unavailable (no g++/libjpeg)"
+)
+
+
+def _jpeg(arr, mode="RGB", **save_kw):
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode).save(buf, "JPEG", **save_kw)
+    return buf.getvalue()
+
+
+def _pil(data, size_hw):
+    h, w = size_hw
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    return np.asarray(img.resize((w, h), Image.BILINEAR), np.uint8)
+
+
+CASES = [
+    # (in_h, in_w, out_h, out_w, mode, save_kw) — upscale (market), identity,
+    # downscale with odd dims (street2shop crops), square (fashion), both
+    # chroma subsamplings, grayscale, progressive encoding
+    (128, 64, 256, 128, "RGB", {"quality": 90}),
+    (64, 32, 64, 32, "RGB", {"quality": 90}),
+    (501, 333, 256, 128, "RGB", {"quality": 75}),
+    (77, 131, 320, 320, "RGB", {"quality": 95}),
+    (120, 80, 256, 128, "RGB", {"quality": 85, "subsampling": 0}),
+    (120, 80, 256, 128, "RGB", {"quality": 85, "subsampling": 2}),
+    (100, 90, 256, 128, "L", {"quality": 90}),
+    (128, 64, 256, 128, "RGB", {"quality": 90, "progressive": True}),
+    (3, 5, 256, 128, "RGB", {"quality": 90}),  # tiny degenerate source
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_bit_exact_vs_pil(case):
+    ih, iw, oh, ow, mode, kw = case
+    rng = np.random.RandomState(hash(str(case)) % 2**31)
+    shape = (ih, iw) if mode == "L" else (ih, iw, 3)
+    data = _jpeg(rng.randint(0, 255, shape, np.uint8), mode, **kw)
+    got = decode_resize(data, (oh, ow))
+    assert got is not None
+    np.testing.assert_array_equal(got, _pil(data, (oh, ow)))
+
+
+def test_non_jpeg_and_corrupt_fall_back():
+    assert decode_resize(b"definitely not a jpeg", (64, 32)) is None
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(buf, "PNG")
+    assert decode_resize(buf.getvalue(), (64, 32)) is None
+    # truncated jpeg
+    rng = np.random.RandomState(0)
+    data = _jpeg(rng.randint(0, 255, (64, 32, 3), np.uint8))
+    assert decode_resize(data[: len(data) // 2], (64, 32)) is None
+
+
+def test_batch_matches_single_and_reports_failures():
+    rng = np.random.RandomState(1)
+    blobs, refs = [], []
+    for i in range(7):
+        arr = rng.randint(0, 255, (60 + i, 40 + i, 3), np.uint8)
+        blobs.append(_jpeg(arr, quality=90))
+        refs.append(decode_resize(blobs[-1], (128, 64)))
+    blobs.insert(3, b"broken")
+    out, failed = decode_resize_batch(blobs, (128, 64), n_threads=4)
+    assert failed == [3]
+    good = [i for i in range(len(blobs)) if i != 3]
+    for ref, i in zip(refs, good):
+        np.testing.assert_array_equal(out[i], ref)
+
+
+def test_load_and_resize_uses_native_and_matches_pil(tmp_path):
+    from centroids_reid_tpu.data.transforms import load_and_resize
+
+    rng = np.random.RandomState(2)
+    p = os.path.join(tmp_path, "img.jpg")
+    Image.fromarray(rng.randint(0, 255, (90, 45, 3), np.uint8)).save(
+        p, "JPEG", quality=90
+    )
+    with open(p, "rb") as f:
+        ref = _pil(f.read(), (256, 128))
+    np.testing.assert_array_equal(load_and_resize(p, (256, 128)), ref)
+    # non-jpeg file goes through the PIL fallback inside load_and_resize
+    p2 = os.path.join(tmp_path, "img.png")
+    Image.fromarray(rng.randint(0, 255, (90, 45, 3), np.uint8)).save(p2, "PNG")
+    out = load_and_resize(p2, (64, 32))
+    assert out.shape == (64, 32, 3) and out.dtype == np.uint8
+
+
+def test_image_bank_native_path(tmp_path):
+    from centroids_reid_tpu.data.datasets import Record
+    from centroids_reid_tpu.data.device_data import build_image_bank
+
+    rng = np.random.RandomState(3)
+    records = []
+    for i in range(5):
+        p = os.path.join(tmp_path, f"{i}.jpg")
+        Image.fromarray(
+            rng.randint(0, 255, (80 + i, 40, 3), np.uint8)
+        ).save(p, "JPEG", quality=90)
+        records.append(Record(p, pid=i, camid=0, idx=i))
+    # one non-jpeg member exercises the per-image fallback
+    p = os.path.join(tmp_path, "x.png")
+    Image.fromarray(rng.randint(0, 255, (30, 20, 3), np.uint8)).save(p, "PNG")
+    records.append(Record(p, pid=9, camid=0, idx=5))
+
+    bank = build_image_bank(records, (128, 64), cache=False, num_workers=2)
+    assert bank.shape == (6, 128, 64, 3)
+    for i, rec in enumerate(records):
+        with open(rec.path, "rb") as f:
+            data = f.read()
+        np.testing.assert_array_equal(bank[i], _pil(data, (128, 64)))
