@@ -148,16 +148,57 @@ def _e2e_embed_imgs_per_sec() -> float:
     return best
 
 
+def _int8_imgs_per_sec() -> float:
+    """int8 PTQ serving path (models/quantized.py): uint8 in, same scanned
+    single-dispatch shape as the headline."""
+    import numpy as np
+
+    from centroids_reid_tpu.config import get_default_cfg
+    from centroids_reid_tpu.models import create_model, init_model
+    from centroids_reid_tpu.models.quantized import quantize_reid_model
+
+    cfg = get_default_cfg()
+    model = create_model(cfg, num_classes=0)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), (256, 128))
+    rng = np.random.RandomState(0)
+    batch, scans = 512, 8
+    imgs = rng.randint(0, 256, (scans, batch, 256, 128, 3), "uint8")
+    qfn = quantize_reid_model(
+        model, params, batch_stats, [imgs[0][:64]],
+        cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+    )
+    xs = jnp.asarray(imgs)
+    float(qfn.embed_many(xs).sum())  # compile + warmup
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        float(qfn.embed_many(xs).sum())
+    dt = (time.time() - t0) / reps
+    return batch * scans / dt
+
+
 def _extra_rows():
-    try:
-        return {
-            "train_imgs_per_sec_bf16": round(_train_imgs_per_sec(True), 1),
-            "train_imgs_per_sec_fp32": round(_train_imgs_per_sec(False), 1),
-            "e2e_decode_embed_imgs_per_sec": round(
-                _e2e_embed_imgs_per_sec(), 1),
-        }
-    except Exception as e:  # never break the headline contract
-        return {"error": f"{type(e).__name__}: {e}"}
+    # e2e first: it is tunnel-bandwidth-sensitive and measures ~3x low
+    # when the train benches run before it (device/tunnel still busy).
+    rows = (
+        ("e2e_decode_embed_imgs_per_sec", _e2e_embed_imgs_per_sec),
+        ("int8_eval_imgs_per_sec", _int8_imgs_per_sec),
+        ("train_imgs_per_sec_bf16", lambda: _train_imgs_per_sec(True)),
+        ("train_imgs_per_sec_fp32", lambda: _train_imgs_per_sec(False)),
+    )
+    out = {}
+    t0 = time.time()
+    for name, fn in rows:
+        # cold-compile guard: the headline JSON line must always appear
+        # within the driver's budget, extras are best-effort
+        if time.time() - t0 > 420:
+            out[name] = "skipped (time budget)"
+            continue
+        try:
+            out[name] = round(fn(), 1)
+        except Exception as e:  # never break the headline contract
+            out[name] = f"error {type(e).__name__}: {e}"
+    return out
 
 
 if __name__ == "__main__":

@@ -59,6 +59,39 @@ def load_inference_model(cfg):
     return model, params, batch_stats
 
 
+def maybe_int8_embed_fn(cfg, model, params, batch_stats, paths):
+    """When TPU.INT8_EVAL: build the int8 serving embed fn, self-calibrated
+    on the leading batches of the input folder (models/quantized.py).
+    Returns None (caller uses the bf16/fp32 path) when disabled or when the
+    backbone cannot be quantized (IBN-a)."""
+    if not cfg.TPU.INT8_EVAL:
+        return None
+    from ..data.datasets import Record
+    from ..data.loader import EvalLoader
+    from ..models.quantized import quantize_reid_model
+
+    n_calib = max(1, cfg.TPU.INT8_CALIB_BATCHES)
+    records = [Record(p, 0, 0, i) for i, p in enumerate(paths)]
+    loader = EvalLoader(records, cfg)
+    calib = []
+    for batch in loader:
+        # drop the zero-padded tail rows — they would skew the ranges low
+        calib.append(batch["images"][batch["valid"]])
+        if len(calib) >= n_calib:
+            break
+    try:
+        qfn = quantize_reid_model(
+            model, params, batch_stats, calib,
+            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+        )
+    except ValueError as e:
+        log.warning(f"TPU.INT8_EVAL requested but not available ({e}); "
+                    "falling back to the bf16/fp32 path")
+        return None
+    log.info(f"int8 serving path active (calibrated on {len(calib)} batches)")
+    return lambda _p, _bs, imgs_u8: qfn(imgs_u8)
+
+
 def build_embeddings(cfg, images_in_subfolders: bool, print_freq: int = 10,
                      pid_from: str = "parent_dir"):
     """create_embeddings flow; saves embeddings.npy + paths.npy."""
@@ -72,7 +105,8 @@ def build_embeddings(cfg, images_in_subfolders: bool, print_freq: int = 10,
     model, params, batch_stats = load_inference_model(cfg)
     log.info("Running inference")
     embeddings, paths = run_inference(
-        model, cfg, params, batch_stats, paths, print_freq
+        model, cfg, params, batch_stats, paths, print_freq,
+        embed_fn=maybe_int8_embed_fn(cfg, model, params, batch_stats, paths),
     )
 
     if cfg.MODEL.USE_CENTROIDS:
@@ -100,7 +134,8 @@ def find_similar(cfg, gallery_data: str, images_in_subfolders: bool,
     model, params, batch_stats = load_inference_model(cfg)
     log.info("Running inference")
     embeddings, paths = run_inference(
-        model, cfg, params, batch_stats, paths, print_freq
+        model, cfg, params, batch_stats, paths, print_freq,
+        embed_fn=maybe_int8_embed_fn(cfg, model, params, batch_stats, paths),
     )
 
     load_path = Path(gallery_data)

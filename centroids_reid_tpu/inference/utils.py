@@ -82,12 +82,15 @@ PID_EXTRACTORS: Dict[str, Callable[[str], str]] = {
 
 def run_inference(
     model, cfg, params_model, batch_stats, image_paths: List[str],
-    print_freq: int = 10,
+    print_freq: int = 10, embed_fn=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Embed a list of images; returns (embeddings [N,D] fp32, paths [N])."""
+    """Embed a list of images; returns (embeddings [N,D] fp32, paths [N]).
+
+    ``embed_fn(params, batch_stats, imgs_u8)`` overrides the default
+    bf16/fp32 embed program (used by the int8 serving path)."""
     records = [Record(p, 0, 0, i) for i, p in enumerate(image_paths)]
     loader = EvalLoader(records, cfg)
-    embed = make_embed_fn(model, cfg)
+    embed = embed_fn or make_embed_fn(model, cfg)
     embs = []
     # Keep up to two batches in flight: JAX dispatch is async, so deferring
     # the host fetch (np.asarray) overlaps D2H of batch i with H2D+compute

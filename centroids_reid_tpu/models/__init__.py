@@ -1,4 +1,5 @@
 from .baseline import ReidModel, create_model, init_model
+from .quantized import QuantizedEmbed, quantize_reid_model
 from .resnet import ResNet, build_backbone, backbone_emb_size
 
 __all__ = [
@@ -8,4 +9,6 @@ __all__ = [
     "ResNet",
     "build_backbone",
     "backbone_emb_size",
+    "QuantizedEmbed",
+    "quantize_reid_model",
 ]

@@ -1,0 +1,409 @@
+"""int8 post-training-quantized serving path for the re-id embed pipeline.
+
+A TPU-only addition (no reference counterpart — the reference serves fp32,
+/root/reference/inference/inference_utils.py:104-113). The eval embed path
+is at the bf16 hardware roofline (see README "Roofline audit"): early
+layers HBM-bandwidth-bound, late layers MXU-bound. int8 halves activation
+bytes and (for the 1x1 convs that carry most bottleneck FLOPs) doubles MXU
+throughput, which is the only remaining headroom without changing the
+architecture.
+
+Design (standard TensorRT-style PTQ, specialised for this model family):
+
+* **BN folding**: every ``conv -> BN`` pair is folded into one affine conv
+  (exact math): ``W_f = W * g[o]``, ``b_f = beta - mu * g`` with
+  ``g = gamma / sqrt(var + eps)``.
+* **Input folding**: images stay uint8 all the way to the stem. The eval
+  normalisation ``(u/255 - mean)/std`` is an affine map, so it folds into
+  the stem weights per *input* channel; the image is padded with the
+  rounded mean pixel (== 0 in normalised space to < half a pixel step) and
+  shifted by -128, making the int8 input field EXACT — the stem consumes
+  raw pixels, and the uint8->float normalise pass disappears entirely.
+* **Per-out-channel symmetric int8 weights**, per-tensor symmetric int8
+  activations with scales calibrated by absolute max over calibration
+  batches (run through the *folded* fp32 graph, so calibrated ranges match
+  the quantized graph's dataflow exactly).
+* **Requantization points** after every ReLU (and the stem output); the
+  block-level residual add runs in fp32 and is requantized after its ReLU.
+  MaxPool commutes with quantization (monotone), so it runs on int8 with
+  -128 padding (flax max_pool pads -inf).
+* The tail (GAP, BNNeck, the retrieval representation) stays fp32 — eval
+  metric math is fp32 everywhere in this framework.
+
+IBN-a backbones are not supported (InstanceNorm is per-sample and does not
+fold); callers fall back to the bf16 path.
+
+Accuracy is asserted by tests/test_quantized.py: folded-fp32 == model.embed,
+int8-vs-fp32 embedding cosine, and mAP preservation on a separable set.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .resnet import _ARCHS
+
+_EPS = 1e-5  # BN epsilon used by every norm in resnet.py
+
+
+# ---------------------------------------------------------------------------
+# Folding
+# ---------------------------------------------------------------------------
+
+
+def _fold_conv_bn(conv_p, bn_p, bn_s) -> Dict[str, jnp.ndarray]:
+    """conv -> BN folded to (W_f [kh,kw,ci,co] fp32, b_f [co] fp32)."""
+    w = jnp.asarray(conv_p["kernel"], jnp.float32)
+    g = jnp.asarray(bn_p["scale"], jnp.float32) * jax.lax.rsqrt(
+        jnp.asarray(bn_s["var"], jnp.float32) + _EPS
+    )
+    b = jnp.asarray(bn_p["bias"], jnp.float32) - jnp.asarray(
+        bn_s["mean"], jnp.float32
+    ) * g
+    return {"w": w * g[None, None, None, :], "b": b}
+
+
+def _block_plan(name: str, last_stride: int) -> List[Tuple]:
+    """Static per-block plan [(block_name, kind, stride, has_downsample)].
+
+    Mirrors ResNet.__call__ (resnet.py:221-253)."""
+    spec = _ARCHS[name]
+    kind = "bottleneck" if spec["block"].__name__ == "Bottleneck" else "basic"
+    expansion = 4 if kind == "bottleneck" else 1
+    strides = (1, 2, 2, last_stride)
+    plan = []
+    inplanes = 64
+    for stage, (mult, nblocks) in enumerate(zip((1, 2, 4, 8), spec["layers"])):
+        planes = 64 * mult
+        for b in range(nblocks):
+            stride = strides[stage] if b == 0 else 1
+            has_ds = b == 0 and (
+                stride != 1 or inplanes != planes * expansion
+            )
+            plan.append((f"layer{stage + 1}_{b}", kind, planes, stride, has_ds))
+            inplanes = planes * expansion
+    return plan
+
+
+def fold_backbone(
+    model, params, batch_stats, pixel_mean: Sequence[float],
+    pixel_std: Sequence[float],
+) -> Dict[str, Any]:
+    """Fold all conv+BN pairs of a plain-ResNet re-id model, including the
+    input-normalisation fold into the stem. Returns the folded fp32 tree
+    plus the static plan and input-prep constants."""
+    if _ARCHS[model.backbone_name]["ibn"]:
+        raise ValueError(
+            "int8 path does not support IBN-a backbones "
+            "(per-sample InstanceNorm does not fold)"
+        )
+    bb_p, bb_s = params["backbone"], batch_stats["backbone"]
+
+    mean = np.asarray(pixel_mean, np.float32)
+    std = np.asarray(pixel_std, np.float32)
+    # z = pad(u8, round(255*mean)) - 128; x_norm = alpha*z + delta exactly
+    alpha = 1.0 / (255.0 * std)
+    delta = (128.0 / 255.0 - mean) / std
+    pad_value = np.round(255.0 * mean).astype(np.int32)
+
+    stem = _fold_conv_bn(bb_p["conv1"], bb_p["bn1"], bb_s["bn1"])
+    w_f = stem["w"]  # [7,7,3,64]
+    # per-in-channel alpha fold + delta correction into the bias
+    stem_w = w_f * jnp.asarray(alpha)[None, None, :, None]
+    stem_b = stem["b"] + jnp.einsum(
+        "hwco,c->o", w_f, jnp.asarray(delta)
+    )
+
+    blocks = []
+    for bname, kind, planes, stride, has_ds in _block_plan(
+        model.backbone_name, model.last_stride
+    ):
+        bp, bs = bb_p[bname], bb_s[bname]
+        entry = {
+            "conv1": _fold_conv_bn(bp["conv1"], bp["bn1"], bs["bn1"]),
+            "conv2": _fold_conv_bn(bp["conv2"], bp["bn2"], bs["bn2"]),
+        }
+        if kind == "bottleneck":
+            entry["conv3"] = _fold_conv_bn(bp["conv3"], bp["bn3"], bs["bn3"])
+        if has_ds:
+            entry["ds"] = _fold_conv_bn(
+                bp["downsample_conv"], bp["downsample_bn"], bs["downsample_bn"]
+            )
+        blocks.append(entry)
+
+    return {
+        "stem": {"w": stem_w, "b": stem_b},
+        "blocks": blocks,
+        "bnneck": {
+            "scale": jnp.asarray(params["bnneck"]["scale"], jnp.float32),
+            "bias": jnp.asarray(params["bnneck"]["bias"], jnp.float32),
+            "mean": jnp.asarray(batch_stats["bnneck"]["mean"], jnp.float32),
+            "var": jnp.asarray(batch_stats["bnneck"]["var"], jnp.float32),
+        },
+        "plan": _block_plan(model.backbone_name, model.last_stride),
+        "pad_value": pad_value,
+        "stem_relu": _ARCHS[model.backbone_name]["ibn"],  # plain: no stem ReLU
+    }
+
+
+# ---------------------------------------------------------------------------
+# Shared forward structure; two engines (fp32 observe / int8 execute)
+# ---------------------------------------------------------------------------
+
+
+def _prep_input(imgs_u8, pad_value) -> jnp.ndarray:
+    """uint8 [B,H,W,3] -> int8 field [B,H+6,W+6,3] (stem pad 3, VALID conv).
+
+    The pad value is the rounded mean pixel == normalised zero; -128 shift
+    keeps the exact pixel value in int8."""
+    z = jnp.pad(
+        imgs_u8.astype(jnp.int32),
+        ((0, 0), (3, 3), (3, 3), (0, 0)),
+        constant_values=0,
+    )
+    # overwrite padding with the per-channel mean pixel
+    b, h, w, _ = imgs_u8.shape
+    mask = jnp.zeros((h + 6, w + 6, 1), bool).at[3:-3, 3:-3].set(True)
+    z = jnp.where(mask, z, jnp.asarray(pad_value)[None, None, :])
+    return (z - 128).astype(jnp.int8)
+
+
+def _conv_int8(z_i8, w_i8, stride: int, pad: int):
+    return jax.lax.conv_general_dilated(
+        z_i8, w_i8, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _conv_fp(x, w, stride: int, pad: int):
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _maxpool_int8(x_i8):
+    return jax.lax.reduce_window(
+        x_i8, jnp.int8(-128), jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+def _maxpool_fp(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+class _FpEngine:
+    """fp32 engine over the folded graph; records absmax at requant points.
+
+    Running it IS the calibration pass — ranges are observed on exactly the
+    dataflow the int8 engine executes."""
+
+    def __init__(self, fold):
+        self.fold = fold
+        self.maxes: Dict[str, jnp.ndarray] = {}
+
+    def input(self, imgs_u8):
+        return _prep_input(imgs_u8, self.fold["pad_value"]).astype(jnp.float32)
+
+    def conv(self, x, entry, stride, pad):
+        return _conv_fp(x, entry["w"], stride, pad) + entry["b"]
+
+    def quant(self, name, x):
+        self.maxes[name] = jnp.max(jnp.abs(x))
+        return x
+
+    def dequant(self, x):
+        return x
+
+    def maxpool(self, x):
+        return _maxpool_fp(x)
+
+
+class _Int8Engine:
+    """int8 engine: tensors are (int8 values, fp32 scale) pairs."""
+
+    def __init__(self, qtree):
+        self.q = qtree
+
+    def input(self, imgs_u8):
+        # exact: int8 pixel values with scale 1 (alpha folded into weights)
+        return _prep_input(imgs_u8, self.q["pad_value"]), jnp.float32(1.0)
+
+    def conv(self, rep, entry, stride, pad):
+        z, s_in = rep
+        acc = _conv_int8(z, entry["w"], stride, pad)
+        return acc.astype(jnp.float32) * (s_in * entry["w_scale"]) + entry["b"]
+
+    def quant(self, name, x):
+        s = self.q["act_scales"][name]
+        q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+        return q, s
+
+    def dequant(self, rep):
+        z, s = rep
+        return z.astype(jnp.float32) * s
+
+    def maxpool(self, rep):
+        z, s = rep
+        return _maxpool_int8(z), s
+
+
+def _backbone_forward(eng, fold_or_q, imgs_u8):
+    """The folded ResNet trunk, engine-agnostic. Returns fp32 [B,h,w,C]."""
+    f = fold_or_q
+    rep = eng.input(imgs_u8)
+    x = eng.conv(rep, f["stem"], stride=2, pad=0)  # input pre-padded by 3
+    if f["stem_relu"]:
+        x = jax.nn.relu(x)
+    rep = eng.quant("stem", x)
+    rep = eng.maxpool(rep)
+
+    for entry, (bname, kind, planes, stride, has_ds) in zip(
+        f["blocks"], f["plan"]
+    ):
+        if kind == "bottleneck":
+            x = jax.nn.relu(eng.conv(rep, entry["conv1"], 1, 0))
+            r1 = eng.quant(f"{bname}.a1", x)
+            x = jax.nn.relu(eng.conv(r1, entry["conv2"], stride, 1))
+            r2 = eng.quant(f"{bname}.a2", x)
+            out = eng.conv(r2, entry["conv3"], 1, 0)
+        else:  # basic
+            x = jax.nn.relu(eng.conv(rep, entry["conv1"], stride, 1))
+            r1 = eng.quant(f"{bname}.a1", x)
+            out = eng.conv(r1, entry["conv2"], 1, 1)
+        if has_ds:
+            residual = eng.conv(rep, entry["ds"], stride, 0)
+        else:
+            residual = eng.dequant(rep)
+        y = jax.nn.relu(out + residual)
+        rep = eng.quant(f"{bname}.out", y)
+    return eng.dequant(rep)
+
+
+def _embed_tail(bnneck, trunk_fp32):
+    feat = jnp.mean(trunk_fp32, axis=(1, 2))
+    g = bnneck["scale"] * jax.lax.rsqrt(bnneck["var"] + _EPS)
+    return (feat - bnneck["mean"]) * g + bnneck["bias"]
+
+
+# ---------------------------------------------------------------------------
+# Calibration + weight quantization
+# ---------------------------------------------------------------------------
+
+
+def _quantize_weights(entry) -> Dict[str, jnp.ndarray]:
+    w = entry["w"]
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / s[None, None, None, :]), -127, 127)
+    return {"w": q.astype(jnp.int8), "w_scale": s, "b": entry["b"]}
+
+
+def calibrate(fold, calib_batches) -> Dict[str, float]:
+    """Run the folded fp32 graph over calibration uint8 batches; returns
+    per-quant-point activation scales (absmax / 127)."""
+
+    @jax.jit
+    def one(imgs_u8):
+        eng = _FpEngine(fold)
+        _backbone_forward(eng, fold, imgs_u8)
+        return eng.maxes
+
+    maxes: Dict[str, jnp.ndarray] = {}
+    n = 0
+    for imgs in calib_batches:
+        m = one(jnp.asarray(imgs))
+        m = {k: float(v) for k, v in m.items()}
+        for k, v in m.items():
+            maxes[k] = max(maxes.get(k, 0.0), v)
+        n += 1
+    if n == 0:
+        raise ValueError("calibration requires at least one batch")
+    return {k: max(v, 1e-12) / 127.0 for k, v in maxes.items()}
+
+
+class QuantizedEmbed:
+    """Callable int8 embed pipeline: uint8 [B,H,W,3] -> fp32 [B, D].
+
+    Build with :func:`quantize_reid_model`. The quantized parameters are a
+    pytree (``.qtree``); the call is a single jitted XLA program."""
+
+    def __init__(self, qtree, plan, stem_relu):
+        self._static = {"plan": plan, "stem_relu": stem_relu}
+        self.qtree = qtree
+
+        def one(qtree, imgs_u8):
+            f = dict(qtree)
+            f.update(self._static)
+            eng = _Int8Engine(f)
+            trunk = _backbone_forward(eng, f, imgs_u8)
+            return _embed_tail(f["bnneck"], trunk)
+
+        self._run = jax.jit(one)
+
+        @jax.jit
+        def run_many(qtree, imgs_u8_sb):
+            return jax.lax.scan(
+                lambda _, u8: (None, one(qtree, u8)), None, imgs_u8_sb
+            )[1]
+
+        self._run_many = run_many
+
+    def __call__(self, imgs_u8):
+        return self._run(self.qtree, imgs_u8)
+
+    def embed_many(self, imgs_u8_sb):
+        """[S, B, H, W, 3] uint8 -> [S, B, D] fp32 in ONE dispatch —
+        amortises the fixed per-dispatch latency S-fold (same pattern as
+        engine/evaluate.make_embed_many_fn)."""
+        return self._run_many(self.qtree, imgs_u8_sb)
+
+
+def quantize_reid_model(
+    model, params, batch_stats, calib_batches,
+    pixel_mean: Sequence[float], pixel_std: Sequence[float],
+) -> QuantizedEmbed:
+    """PTQ of a ReidModel for serving: fold, calibrate, quantize.
+
+    ``calib_batches``: iterable of uint8 [B,H,W,3] arrays (a few batches of
+    the target domain; the inference CLIs self-calibrate on their input
+    folder). All batches should share the deployment batch shape."""
+    fold = fold_backbone(model, params, batch_stats, pixel_mean, pixel_std)
+    act_scales = calibrate(fold, calib_batches)
+
+    qtree = {
+        "stem": _quantize_weights(fold["stem"]),
+        "blocks": [
+            {k: _quantize_weights(v) for k, v in entry.items()}
+            for entry in fold["blocks"]
+        ],
+        "bnneck": fold["bnneck"],
+        "act_scales": {k: jnp.float32(v) for k, v in act_scales.items()},
+        "pad_value": fold["pad_value"],
+    }
+    return QuantizedEmbed(qtree, fold["plan"], fold["stem_relu"])
+
+
+def folded_fp_embed(model, params, batch_stats, pixel_mean, pixel_std):
+    """The folded fp32 embed fn (no quantization) — the calibration graph.
+
+    Used by tests to prove the folding itself is exact vs ``model.embed``."""
+    fold = fold_backbone(model, params, batch_stats, pixel_mean, pixel_std)
+
+    @jax.jit
+    def run(imgs_u8):
+        eng = _FpEngine(fold)
+        trunk = _backbone_forward(eng, fold, imgs_u8)
+        return _embed_tail(fold["bnneck"], trunk)
+
+    return run

@@ -215,3 +215,25 @@ def test_retrieval_service_self_query(ckpt_dir, image_dirs, tmp_path):
         assert os.path.basename(res_paths[qi, 0]) == expected
         assert d[qi, 0] == pytest.approx(0.0, abs=1e-3)
         assert (np.diff(d[qi]) >= -1e-6).all()
+
+
+def test_create_embeddings_int8(ckpt_dir, image_dirs, tmp_path):
+    """TPU.INT8_EVAL routes build_embeddings through the quantized serving
+    path (self-calibrated on the input folder) and stays close to fp32."""
+    gallery, _ = image_dirs
+    cfg = _cfg(tmp_path)
+    cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg.DATASETS.ROOT_DIR = gallery
+    emb_fp, _ = build_embeddings(cfg, images_in_subfolders=False)
+
+    cfg = _cfg(tmp_path)
+    cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg.DATASETS.ROOT_DIR = gallery
+    cfg.TPU.INT8_EVAL = True
+    cfg.TPU.INT8_CALIB_BATCHES = 1
+    emb_q, paths = build_embeddings(cfg, images_in_subfolders=False)
+    assert emb_q.shape == (12, 512)
+    cos = np.sum(emb_fp * emb_q, 1) / (
+        np.linalg.norm(emb_fp, axis=1) * np.linalg.norm(emb_q, axis=1)
+    )
+    assert cos.min() > 0.98, cos
