@@ -30,8 +30,10 @@ Design (standard TensorRT-style PTQ, specialised for this model family):
 * The tail (GAP, BNNeck, the retrieval representation) stays fp32 — eval
   metric math is fp32 everywhere in this framework.
 
-IBN-a backbones are not supported (InstanceNorm is per-sample and does not
-fold); callers fall back to the bf16 path.
+IBN-a backbones are supported: the BatchNorm half of each IBN folds into
+its conv like any conv+BN; the InstanceNorm half is per-sample (no running
+stats) and runs as an fp32 normalisation between the conv and the requant
+point (layers 1-3 bn1 only, resnet_ibn_a.py:116-118).
 
 Accuracy is asserted by tests/test_quantized.py: folded-fp32 == model.embed,
 int8-vs-fp32 embedding cosine, and mAP preservation on a separable set.
@@ -69,9 +71,11 @@ def _fold_conv_bn(conv_p, bn_p, bn_s) -> Dict[str, jnp.ndarray]:
 
 
 def _block_plan(name: str, last_stride: int) -> List[Tuple]:
-    """Static per-block plan [(block_name, kind, stride, has_downsample)].
+    """Static per-block plan
+    [(block_name, kind, stride, has_downsample, use_ibn)].
 
-    Mirrors ResNet.__call__ (resnet.py:221-253)."""
+    Mirrors ResNet.__call__ (resnet.py:221-253); IBN applies to bn1 of
+    layers 1-3 bottlenecks only (resnet_ibn_a.py:116-118)."""
     spec = _ARCHS[name]
     kind = "bottleneck" if spec["block"].__name__ == "Bottleneck" else "basic"
     expansion = 4 if kind == "bottleneck" else 1
@@ -80,14 +84,57 @@ def _block_plan(name: str, last_stride: int) -> List[Tuple]:
     inplanes = 64
     for stage, (mult, nblocks) in enumerate(zip((1, 2, 4, 8), spec["layers"])):
         planes = 64 * mult
+        use_ibn = spec["ibn"] and planes != 512
         for b in range(nblocks):
             stride = strides[stage] if b == 0 else 1
             has_ds = b == 0 and (
                 stride != 1 or inplanes != planes * expansion
             )
-            plan.append((f"layer{stage + 1}_{b}", kind, planes, stride, has_ds))
+            plan.append(
+                (f"layer{stage + 1}_{b}", kind, planes, stride, has_ds,
+                 use_ibn)
+            )
             inplanes = planes * expansion
     return plan
+
+
+def _fold_conv_ibn(conv_p, ibn_p) -> Dict[str, jnp.ndarray]:
+    """conv -> IBN: the BatchNorm half (channels [half:]) folds into the
+    conv exactly as conv+BN; the InstanceNorm half is per-sample (no
+    running stats, resnet.py:35-62) and stays a runtime op — its affine
+    params ride along as ``in_scale``/``in_bias``."""
+    w = jnp.asarray(conv_p["kernel"], jnp.float32)
+    c = w.shape[3]
+    half = c // 2
+    bn_p, bn_s = ibn_p["params"]["BN"], ibn_p["stats"]["BN"]
+    g_bn = jnp.asarray(bn_p["scale"], jnp.float32) * jax.lax.rsqrt(
+        jnp.asarray(bn_s["var"], jnp.float32) + _EPS
+    )
+    b_bn = jnp.asarray(bn_p["bias"], jnp.float32) - jnp.asarray(
+        bn_s["mean"], jnp.float32
+    ) * g_bn
+    g = jnp.concatenate([jnp.ones((half,), jnp.float32), g_bn])
+    b = jnp.concatenate([jnp.zeros((half,), jnp.float32), b_bn])
+    return {
+        "w": w * g[None, None, None, :],
+        "b": b,
+        "in_scale": jnp.asarray(ibn_p["params"]["IN"]["scale"], jnp.float32),
+        "in_bias": jnp.asarray(ibn_p["params"]["IN"]["bias"], jnp.float32),
+    }
+
+
+def _apply_instance_norm(y, in_scale, in_bias):
+    """Per-sample IN over H,W on the first half of the channels (fp32),
+    matching flax GroupNorm(one-channel groups): fp32 fast-variance stats,
+    eps 1e-5."""
+    half = in_scale.shape[0]
+    x = y[..., :half]
+    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x * x, axis=(1, 2), keepdims=True) - mu * mu, 0.0
+    )
+    xh = (x - mu) * jax.lax.rsqrt(var + _EPS)
+    return jnp.concatenate([xh * in_scale + in_bias, y[..., half:]], axis=-1)
 
 
 def fold_backbone(
@@ -97,11 +144,6 @@ def fold_backbone(
     """Fold all conv+BN pairs of a plain-ResNet re-id model, including the
     input-normalisation fold into the stem. Returns the folded fp32 tree
     plus the static plan and input-prep constants."""
-    if _ARCHS[model.backbone_name]["ibn"]:
-        raise ValueError(
-            "int8 path does not support IBN-a backbones "
-            "(per-sample InstanceNorm does not fold)"
-        )
     bb_p, bb_s = params["backbone"], batch_stats["backbone"]
 
     mean = np.asarray(pixel_mean, np.float32)
@@ -120,12 +162,19 @@ def fold_backbone(
     )
 
     blocks = []
-    for bname, kind, planes, stride, has_ds in _block_plan(
+    for bname, kind, planes, stride, has_ds, use_ibn in _block_plan(
         model.backbone_name, model.last_stride
     ):
         bp, bs = bb_p[bname], bb_s[bname]
+        if use_ibn:
+            conv1 = _fold_conv_ibn(
+                bp["conv1"],
+                {"params": bp["bn1"], "stats": bs["bn1"]},
+            )
+        else:
+            conv1 = _fold_conv_bn(bp["conv1"], bp["bn1"], bs["bn1"])
         entry = {
-            "conv1": _fold_conv_bn(bp["conv1"], bp["bn1"], bs["bn1"]),
+            "conv1": conv1,
             "conv2": _fold_conv_bn(bp["conv2"], bp["bn2"], bs["bn2"]),
         }
         if kind == "bottleneck":
@@ -236,6 +285,12 @@ class _FpEngine:
     def conv_add_act(self, x, entry, stride, pad, res, qname):
         y = _conv_fp(x, entry["w"], stride, pad) + entry["b"]
         return self._observe(qname, jax.nn.relu(y + res))
+
+    def conv_in_act(self, x, entry, qname):
+        """conv (BN half folded) -> InstanceNorm on the first half -> ReLU."""
+        y = _conv_fp(x, entry["w"], 1, 0) + entry["b"]
+        y = _apply_instance_norm(y, entry["in_scale"], entry["in_bias"])
+        return self._observe(qname, jax.nn.relu(y))
 
     def dequant(self, x):
         return x
@@ -357,6 +412,13 @@ class _Int8Engine:
             )
         return y, s_out
 
+    def conv_in_act(self, rep, entry, qname):
+        """IBN bn1: always the XLA path — the IN half is a per-sample fp32
+        normalisation between the conv and the requant."""
+        y = self._conv_fp_out(rep, entry, 1, 0)
+        y = _apply_instance_norm(y, entry["in_scale"], entry["in_bias"])
+        return self._quant(qname, jax.nn.relu(y))
+
     def dequant(self, rep):
         z, s = rep
         return z.astype(jnp.float32) * s
@@ -377,11 +439,14 @@ def _backbone_forward(eng, fold_or_q, imgs_u8):
     )
     rep = eng.maxpool(rep)
 
-    for entry, (bname, kind, planes, stride, has_ds) in zip(
+    for entry, (bname, kind, planes, stride, has_ds, use_ibn) in zip(
         f["blocks"], f["plan"]
     ):
         if kind == "bottleneck":
-            r1 = eng.conv_act(rep, entry["conv1"], 1, 0, f"{bname}.a1")
+            if use_ibn:
+                r1 = eng.conv_in_act(rep, entry["conv1"], f"{bname}.a1")
+            else:
+                r1 = eng.conv_act(rep, entry["conv1"], 1, 0, f"{bname}.a1")
             r2 = eng.conv_act(r1, entry["conv2"], stride, 1, f"{bname}.a2")
             last, last_stride, last_pad = entry["conv3"], 1, 0
             pre = r2
@@ -416,7 +481,11 @@ def _quantize_weights(entry) -> Dict[str, jnp.ndarray]:
     w = entry["w"]
     s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
     q = jnp.clip(jnp.round(w / s[None, None, None, :]), -127, 127)
-    return {"w": q.astype(jnp.int8), "w_scale": s, "b": entry["b"]}
+    out = {"w": q.astype(jnp.int8), "w_scale": s, "b": entry["b"]}
+    for key in ("in_scale", "in_bias"):  # IBN affine rides along
+        if key in entry:
+            out[key] = entry[key]
+    return out
 
 
 def calibrate(fold, calib_batches) -> Dict[str, float]:

@@ -59,7 +59,9 @@ def _imgs(n, hw, seed=0):
     return rng.randint(0, 256, (n, hw[0], hw[1], 3), np.uint8)
 
 
-@pytest.mark.parametrize("name", ["resnet18", "resnet50"])
+@pytest.mark.parametrize(
+    "name", ["resnet18", "resnet50", "resnet50_ibn_a"]
+)
 def test_folded_fp_matches_model_embed(name):
     hw = (64, 32)
     cfg, model, params, bstats = _model(name, hw)
@@ -76,7 +78,9 @@ def test_folded_fp_matches_model_embed(name):
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-3)
 
 
-@pytest.mark.parametrize("name", ["resnet18", "resnet50"])
+@pytest.mark.parametrize(
+    "name", ["resnet18", "resnet50", "resnet50_ibn_a"]
+)
 def test_int8_embedding_cosine(name):
     hw = (64, 32)
     cfg, model, params, bstats = _model(name, hw)
@@ -117,13 +121,6 @@ def test_int8_preserves_retrieval_on_separable_data():
 
     # fp32 top-1 on this set and the quantized top-1 must agree
     assert top1_acc(emb_q) == top1_acc(emb_f)
-
-
-def test_ibn_backbone_rejected():
-    hw = (64, 32)
-    cfg, model, params, bstats = _model("resnet50_ibn_a", hw)
-    with pytest.raises(ValueError, match="IBN"):
-        quantize_reid_model(model, params, bstats, [_imgs(2, hw)], MEAN, STD)
 
 
 def test_calibration_requires_batches():
