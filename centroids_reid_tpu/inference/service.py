@@ -39,7 +39,12 @@ class RetrievalService:
         normalize: bool = True,
         use_bf16_kernel: bool = True,
         model_bundle=None,
+        int8_calib_imgs: Optional[np.ndarray] = None,
     ):
+        """``int8_calib_imgs``: uint8 [N,H,W,3] sample of the query domain;
+        when given (or when cfg.TPU.INT8_EVAL and samples are provided),
+        the embed stage runs the int8 PTQ path (models/quantized.py) inside
+        the same single-dispatch program."""
         self.cfg = cfg
         self.k = int(min(k, len(gallery_paths)))
         self.normalize = normalize
@@ -73,13 +78,26 @@ class RetrievalService:
         use_pallas = self._use_pallas
         do_norm = normalize
 
+        self._qfn = None
+        if int8_calib_imgs is not None:
+            from ..models.quantized import quantize_reid_model
+
+            self._qfn = quantize_reid_model(
+                self.model, self.params, self.batch_stats,
+                [np.asarray(int8_calib_imgs)], mean, std,
+            )
+        qfn = self._qfn
+
         @jax.jit
         def run(params, batch_stats, gf, gf32, gn, imgs_u8):
-            x = normalize_batch(imgs_u8, mean, std, dtype=emb_dtype)
-            e = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                x, method=model.embed,
-            )
+            if qfn is not None:
+                e = qfn.apply(qfn.qtree, imgs_u8)
+            else:
+                x = normalize_batch(imgs_u8, mean, std, dtype=emb_dtype)
+                e = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x, method=model.embed,
+                )
             if do_norm:
                 e = e / jnp.maximum(
                     jnp.linalg.norm(e, axis=1, keepdims=True), 1e-12

@@ -532,6 +532,9 @@ class QuantizedEmbed:
             trunk = _backbone_forward(eng, f, imgs_u8)
             return _embed_tail(f["bnneck"], trunk)
 
+        # unjitted form for embedding into larger jitted programs
+        # (e.g. RetrievalService's one-dispatch query path)
+        self.apply = one
         self._run = jax.jit(one)
 
         @jax.jit
@@ -550,6 +553,61 @@ class QuantizedEmbed:
         amortises the fixed per-dispatch latency S-fold (same pattern as
         engine/evaluate.make_embed_many_fn)."""
         return self._run_many(self.qtree, imgs_u8_sb)
+
+    def save(self, path: str) -> None:
+        """Serialise the quantized model (weights, scales, plan) to one
+        ``.npz`` — deploy without re-calibration."""
+        import json
+
+        flat: Dict[str, np.ndarray] = {}
+
+        def walk(prefix, obj):
+            if isinstance(obj, dict):
+                for k, v in obj.items():
+                    walk(f"{prefix}/{k}", v)
+            elif isinstance(obj, (list, tuple)):
+                for i, v in enumerate(obj):
+                    walk(f"{prefix}/{i}", v)
+            else:
+                flat[prefix] = np.asarray(obj)
+
+        walk("q", self.qtree)
+        meta = json.dumps({
+            "plan": self._static["plan"],
+            "stem_relu": bool(self._static["stem_relu"]),
+            "n_blocks": len(self.qtree["blocks"]),
+        })
+        np.savez(path, __meta__=np.asarray(meta), **flat)
+
+    @staticmethod
+    def load(path: str) -> "QuantizedEmbed":
+        import json
+
+        raw = np.load(path, allow_pickle=False)
+        meta = json.loads(str(raw["__meta__"]))
+
+        tree: Dict[str, Any] = {}
+        for key in raw.files:
+            if key == "__meta__":
+                continue
+            parts = key.split("/")[1:]  # strip the "q" root
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(raw[key])
+
+        blocks = [
+            tree["blocks"][str(i)] for i in range(meta["n_blocks"])
+        ]
+        qtree = {
+            "stem": tree["stem"],
+            "blocks": blocks,
+            "bnneck": tree["bnneck"],
+            "act_scales": tree["act_scales"],
+            "pad_value": np.asarray(tree["pad_value"], np.int32),
+        }
+        plan = [tuple(p) for p in meta["plan"]]
+        return QuantizedEmbed(qtree, plan, meta["stem_relu"])
 
 
 def quantize_reid_model(

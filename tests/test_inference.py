@@ -237,3 +237,31 @@ def test_create_embeddings_int8(ckpt_dir, image_dirs, tmp_path):
         np.linalg.norm(emb_fp, axis=1) * np.linalg.norm(emb_q, axis=1)
     )
     assert cos.min() > 0.98, cos
+
+
+def test_retrieval_service_int8(ckpt_dir, image_dirs, tmp_path):
+    """int8 embed stage inside the one-dispatch serving program: identical
+    query images must still rank themselves first."""
+    from PIL import Image as _Image
+
+    gallery, query = image_dirs
+    cfg = _cfg(tmp_path)
+    cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg.DATASETS.ROOT_DIR = gallery
+    emb, paths = build_embeddings(cfg, images_in_subfolders=False)
+
+    from centroids_reid_tpu.inference import RetrievalService
+
+    calib = np.stack([
+        np.asarray(_Image.open(os.path.join(gallery, f)).resize((16, 32)))
+        for f in sorted(os.listdir(gallery))[:4]
+    ])
+    svc = RetrievalService(
+        cfg, emb, paths, k=3, normalize=True, use_bf16_kernel=False,
+        int8_calib_imgs=calib,
+    )
+    qfiles = sorted(os.path.join(query, f) for f in os.listdir(query))
+    d, idx, res_paths = svc.query_files(qfiles)
+    for qi, qpath in enumerate(qfiles):
+        expected = os.path.basename(qpath)[2:]
+        assert os.path.basename(res_paths[qi, 0]) == expected

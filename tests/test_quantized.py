@@ -128,3 +128,22 @@ def test_calibration_requires_batches():
     cfg, model, params, bstats = _model("resnet18", hw)
     with pytest.raises(ValueError, match="calibration"):
         quantize_reid_model(model, params, bstats, [], MEAN, STD)
+
+
+def test_quantized_save_load_roundtrip(tmp_path):
+    import os
+    hw = (64, 32)
+    cfg, model, params, bstats = _model("resnet50", hw)
+    qfn = quantize_reid_model(
+        model, params, bstats, [_imgs(4, hw)], MEAN, STD
+    )
+    imgs = _imgs(6, hw, seed=9)
+    ref = np.asarray(qfn(jnp.asarray(imgs)))
+
+    from centroids_reid_tpu.models.quantized import QuantizedEmbed
+
+    p = os.path.join(tmp_path, "model_int8.npz")
+    qfn.save(p)
+    qfn2 = QuantizedEmbed.load(p)
+    got = np.asarray(qfn2(jnp.asarray(imgs)))
+    np.testing.assert_array_equal(got, ref)
