@@ -150,9 +150,10 @@ def get_default_cfg() -> ConfigNode:
     _C.TPU.SPACE_TO_DEPTH_STEM = False
     # int8 post-training-quantized serving for the offline inference CLIs
     # (models/quantized.py): BN+input folding, per-channel int8 weights,
-    # self-calibrated per-tensor activation scales. Measured 1.4x embedding
-    # throughput on v5e vs bf16. Not supported for IBN-a backbones (falls
-    # back to bf16 with a warning). Eval during *training* stays bf16.
+    # self-calibrated per-tensor activation scales. Measured 1.66x embedding
+    # throughput on v5e vs bf16 (plain ResNets; IBN-a supported too, the
+    # per-sample IN halves run fp32 and cap it at ~1.07x). Eval during
+    # *training* stays bf16.
     _C.TPU.INT8_EVAL = False
     # Leading batches of the input folder used for activation calibration.
     _C.TPU.INT8_CALIB_BATCHES = 4

@@ -59,11 +59,22 @@ def load_inference_model(cfg):
     return model, params, batch_stats
 
 
-def maybe_int8_embed_fn(cfg, model, params, batch_stats, paths):
+def _shared_store(cfg):
+    """One decoded-image store per CLI run, shared between the int8
+    calibration pass and the main embedding loop (when CACHE_IMAGES is
+    off, the leading calibration images decode twice — honouring the
+    memory preference)."""
+    from ..data.loader import ImageStore
+
+    return ImageStore(tuple(cfg.INPUT.SIZE_TEST), cfg.TPU.CACHE_IMAGES)
+
+
+def maybe_int8_embed_fn(cfg, model, params, batch_stats, paths, store=None):
     """When TPU.INT8_EVAL: build the int8 serving embed fn, self-calibrated
-    on the leading batches of the input folder (models/quantized.py).
-    Returns None (caller uses the bf16/fp32 path) when disabled or when the
-    backbone cannot be quantized (IBN-a)."""
+    on the leading TPU.INT8_CALIB_BATCHES of the input folder
+    (models/quantized.py). Returns None when disabled. Pass the same
+    ``store`` the subsequent run_inference uses so calibration images are
+    decoded once."""
     if not cfg.TPU.INT8_EVAL:
         return None
     from ..data.datasets import Record
@@ -71,23 +82,19 @@ def maybe_int8_embed_fn(cfg, model, params, batch_stats, paths):
     from ..models.quantized import quantize_reid_model
 
     n_calib = max(1, cfg.TPU.INT8_CALIB_BATCHES)
-    records = [Record(p, 0, 0, i) for i, p in enumerate(paths)]
-    loader = EvalLoader(records, cfg)
+    # slice the record list up front — no mid-iteration break, so the
+    # loader's producer thread always runs to completion
+    batch_size = cfg.TEST.IMS_PER_BATCH
+    head = paths[: n_calib * batch_size]
+    records = [Record(p, 0, 0, i) for i, p in enumerate(head)]
     calib = []
-    for batch in loader:
+    for batch in EvalLoader(records, cfg, store=store):
         # drop the zero-padded tail rows — they would skew the ranges low
         calib.append(batch["images"][batch["valid"]])
-        if len(calib) >= n_calib:
-            break
-    try:
-        qfn = quantize_reid_model(
-            model, params, batch_stats, calib,
-            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
-        )
-    except ValueError as e:
-        log.warning(f"TPU.INT8_EVAL requested but not available ({e}); "
-                    "falling back to the bf16/fp32 path")
-        return None
+    qfn = quantize_reid_model(
+        model, params, batch_stats, calib,
+        cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+    )
     log.info(f"int8 serving path active (calibrated on {len(calib)} batches)")
     return lambda _p, _bs, imgs_u8: qfn(imgs_u8)
 
@@ -104,9 +111,13 @@ def build_embeddings(cfg, images_in_subfolders: bool, print_freq: int = 10,
 
     model, params, batch_stats = load_inference_model(cfg)
     log.info("Running inference")
+    store = _shared_store(cfg)
     embeddings, paths = run_inference(
         model, cfg, params, batch_stats, paths, print_freq,
-        embed_fn=maybe_int8_embed_fn(cfg, model, params, batch_stats, paths),
+        embed_fn=maybe_int8_embed_fn(
+            cfg, model, params, batch_stats, paths, store=store
+        ),
+        store=store,
     )
 
     if cfg.MODEL.USE_CENTROIDS:
@@ -133,9 +144,13 @@ def find_similar(cfg, gallery_data: str, images_in_subfolders: bool,
     paths = lister(cfg.DATASETS.ROOT_DIR)
     model, params, batch_stats = load_inference_model(cfg)
     log.info("Running inference")
+    store = _shared_store(cfg)
     embeddings, paths = run_inference(
         model, cfg, params, batch_stats, paths, print_freq,
-        embed_fn=maybe_int8_embed_fn(cfg, model, params, batch_stats, paths),
+        embed_fn=maybe_int8_embed_fn(
+            cfg, model, params, batch_stats, paths, store=store
+        ),
+        store=store,
     )
 
     load_path = Path(gallery_data)

@@ -42,9 +42,8 @@ class RetrievalService:
         int8_calib_imgs: Optional[np.ndarray] = None,
     ):
         """``int8_calib_imgs``: uint8 [N,H,W,3] sample of the query domain;
-        when given (or when cfg.TPU.INT8_EVAL and samples are provided),
-        the embed stage runs the int8 PTQ path (models/quantized.py) inside
-        the same single-dispatch program."""
+        when given, the embed stage runs the int8 PTQ path
+        (models/quantized.py) inside the same single-dispatch program."""
         self.cfg = cfg
         self.k = int(min(k, len(gallery_paths)))
         self.normalize = normalize
@@ -87,11 +86,16 @@ class RetrievalService:
                 [np.asarray(int8_calib_imgs)], mean, std,
             )
         qfn = self._qfn
+        # int8: params/batch_stats slots carry (qtree, None) so the weights
+        # stay jit *arguments* (closure capture would bake ~25 MB of int8
+        # weights into the executable as constants)
+        if qfn is not None:
+            self.params, self.batch_stats = qfn.qtree, None
 
         @jax.jit
         def run(params, batch_stats, gf, gf32, gn, imgs_u8):
             if qfn is not None:
-                e = qfn.apply(qfn.qtree, imgs_u8)
+                e = qfn.apply(params, imgs_u8)
             else:
                 x = normalize_batch(imgs_u8, mean, std, dtype=emb_dtype)
                 e = model.apply(

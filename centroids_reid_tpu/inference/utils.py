@@ -82,14 +82,15 @@ PID_EXTRACTORS: Dict[str, Callable[[str], str]] = {
 
 def run_inference(
     model, cfg, params_model, batch_stats, image_paths: List[str],
-    print_freq: int = 10, embed_fn=None,
+    print_freq: int = 10, embed_fn=None, store=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Embed a list of images; returns (embeddings [N,D] fp32, paths [N]).
 
     ``embed_fn(params, batch_stats, imgs_u8)`` overrides the default
-    bf16/fp32 embed program (used by the int8 serving path)."""
+    bf16/fp32 embed program (used by the int8 serving path); ``store``
+    shares a decoded-image cache with e.g. the calibration pass."""
     records = [Record(p, 0, 0, i) for i, p in enumerate(image_paths)]
-    loader = EvalLoader(records, cfg)
+    loader = EvalLoader(records, cfg, store=store)
     embed = embed_fn or make_embed_fn(model, cfg)
     embs = []
     # Keep up to two batches in flight: JAX dispatch is async, so deferring

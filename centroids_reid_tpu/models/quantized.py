@@ -41,8 +41,7 @@ int8-vs-fp32 embedding cosine, and mAP preservation on a separable set.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,10 +71,11 @@ def _fold_conv_bn(conv_p, bn_p, bn_s) -> Dict[str, jnp.ndarray]:
 
 def _block_plan(name: str, last_stride: int) -> List[Tuple]:
     """Static per-block plan
-    [(block_name, kind, stride, has_downsample, use_ibn)].
+    [(block_name, kind, planes, stride, has_downsample, use_ibn)].
 
     Mirrors ResNet.__call__ (resnet.py:221-253); IBN applies to bn1 of
-    layers 1-3 bottlenecks only (resnet_ibn_a.py:116-118)."""
+    layers 1-3 bottlenecks only (resnet_ibn_a.py:116-118). The plan is
+    also serialised into QuantizedEmbed.save()'s metadata."""
     spec = _ARCHS[name]
     kind = "bottleneck" if spec["block"].__name__ == "Bottleneck" else "basic"
     expansion = 4 if kind == "bottleneck" else 1
@@ -162,9 +162,8 @@ def fold_backbone(
     )
 
     blocks = []
-    for bname, kind, planes, stride, has_ds, use_ibn in _block_plan(
-        model.backbone_name, model.last_stride
-    ):
+    plan = _block_plan(model.backbone_name, model.last_stride)
+    for bname, kind, planes, stride, has_ds, use_ibn in plan:
         bp, bs = bb_p[bname], bb_s[bname]
         if use_ibn:
             conv1 = _fold_conv_ibn(
@@ -194,7 +193,7 @@ def fold_backbone(
             "mean": jnp.asarray(batch_stats["bnneck"]["mean"], jnp.float32),
             "var": jnp.asarray(batch_stats["bnneck"]["var"], jnp.float32),
         },
-        "plan": _block_plan(model.backbone_name, model.last_stride),
+        "plan": plan,
         "pad_value": pad_value,
         "stem_relu": _ARCHS[model.backbone_name]["ibn"],  # plain: no stem ReLU
     }
@@ -498,13 +497,14 @@ def calibrate(fold, calib_batches) -> Dict[str, float]:
         _backbone_forward(eng, fold, imgs_u8)
         return eng.maxes
 
-    maxes: Dict[str, jnp.ndarray] = {}
+    maxes: Dict[str, float] = {}
     n = 0
     for imgs in calib_batches:
-        m = one(jnp.asarray(imgs))
-        m = {k: float(v) for k, v in m.items()}
+        # one device_get for the whole dict — per-scalar float() fetches
+        # would cost one ~45 ms tunnel roundtrip per layer per batch
+        m = jax.device_get(one(jnp.asarray(imgs)))
         for k, v in m.items():
-            maxes[k] = max(maxes.get(k, 0.0), v)
+            maxes[k] = max(maxes.get(k, 0.0), float(v))
         n += 1
     if n == 0:
         raise ValueError("calibration requires at least one batch")
@@ -520,6 +520,8 @@ class QuantizedEmbed:
     def __init__(self, qtree, plan, stem_relu, use_pallas: bool = False,
                  acc_dtype=jnp.bfloat16):
         self._static = {"plan": plan, "stem_relu": stem_relu}
+        self._acc_dtype = acc_dtype
+        self._use_pallas = use_pallas
         self.qtree = qtree
         # fused kernels run natively on TPU; anywhere else (CPU tests,
         # multi-chip CPU dry-runs) they run in interpret mode
@@ -576,6 +578,8 @@ class QuantizedEmbed:
             "plan": self._static["plan"],
             "stem_relu": bool(self._static["stem_relu"]),
             "n_blocks": len(self.qtree["blocks"]),
+            "acc_dtype": jnp.dtype(self._acc_dtype).name,
+            "use_pallas": self._use_pallas,
         })
         np.savez(path, __meta__=np.asarray(meta), **flat)
 
@@ -607,7 +611,11 @@ class QuantizedEmbed:
             "pad_value": np.asarray(tree["pad_value"], np.int32),
         }
         plan = [tuple(p) for p in meta["plan"]]
-        return QuantizedEmbed(qtree, plan, meta["stem_relu"])
+        return QuantizedEmbed(
+            qtree, plan, meta["stem_relu"],
+            use_pallas=meta.get("use_pallas", False),
+            acc_dtype=jnp.dtype(meta.get("acc_dtype", "bfloat16")),
+        )
 
 
 def quantize_reid_model(
