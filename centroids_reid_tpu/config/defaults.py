@@ -157,6 +157,10 @@ def get_default_cfg() -> ConfigNode:
     _C.TPU.INT8_EVAL = False
     # Leading batches of the input folder used for activation calibration.
     _C.TPU.INT8_CALIB_BATCHES = 4
+    # Activation-range percentile for calibration; 100 = absolute max,
+    # lower (e.g. 99.9) clips outliers — more robust on trained
+    # checkpoints with heavy-tailed activations.
+    _C.TPU.INT8_CALIB_PCT = 100.0
 
     return _C
 

@@ -94,6 +94,7 @@ def maybe_int8_embed_fn(cfg, model, params, batch_stats, paths, store=None):
     qfn = quantize_reid_model(
         model, params, batch_stats, calib,
         cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+        calib_percentile=cfg.TPU.INT8_CALIB_PCT,
     )
     log.info(f"int8 serving path active (calibrated on {len(calib)} batches)")
     return lambda _p, _bs, imgs_u8: qfn(imgs_u8)

@@ -264,15 +264,25 @@ class _FpEngine:
     quantization points of the int8 engine's dataflow (including the
     downsample branch, which the int8 engine quantizes)."""
 
-    def __init__(self, fold):
+    def __init__(self, fold, percentile: float = 100.0):
         self.fold = fold
+        self.percentile = percentile
         self.maxes: Dict[str, jnp.ndarray] = {}
 
     def input(self, imgs_u8):
         return _prep_input(imgs_u8, self.fold["pad_value"]).astype(jnp.float32)
 
     def _observe(self, name, x):
-        self.maxes[name] = jnp.max(jnp.abs(x))
+        a = jnp.abs(x)
+        if self.percentile >= 100.0:
+            self.maxes[name] = jnp.max(a)
+        else:
+            # percentile clipping: robust to activation outliers, which
+            # abs-max calibration otherwise lets blow up the scale (and
+            # with it the effective resolution of every inlier)
+            self.maxes[name] = jnp.percentile(
+                a.reshape(-1), self.percentile
+            )
         return x
 
     def conv_act(self, x, entry, stride, pad, qname, relu=True):
@@ -487,13 +497,17 @@ def _quantize_weights(entry) -> Dict[str, jnp.ndarray]:
     return out
 
 
-def calibrate(fold, calib_batches) -> Dict[str, float]:
+def calibrate(fold, calib_batches, percentile: float = 100.0
+              ) -> Dict[str, float]:
     """Run the folded fp32 graph over calibration uint8 batches; returns
-    per-quant-point activation scales (absmax / 127)."""
+    per-quant-point activation scales (range / 127). ``percentile`` < 100
+    clips activation outliers (per batch) instead of taking the absolute
+    max — more robust on trained checkpoints with heavy-tailed
+    activations."""
 
     @jax.jit
     def one(imgs_u8):
-        eng = _FpEngine(fold)
+        eng = _FpEngine(fold, percentile)
         _backbone_forward(eng, fold, imgs_u8)
         return eng.maxes
 
@@ -622,14 +636,16 @@ def quantize_reid_model(
     model, params, batch_stats, calib_batches,
     pixel_mean: Sequence[float], pixel_std: Sequence[float],
     use_pallas: bool = False, acc_dtype=jnp.bfloat16,
+    calib_percentile: float = 100.0,
 ) -> QuantizedEmbed:
     """PTQ of a ReidModel for serving: fold, calibrate, quantize.
 
     ``calib_batches``: iterable of uint8 [B,H,W,3] arrays (a few batches of
     the target domain; the inference CLIs self-calibrate on their input
-    folder). All batches should share the deployment batch shape."""
+    folder). All batches should share the deployment batch shape.
+    ``calib_percentile`` < 100 enables outlier-clipped calibration."""
     fold = fold_backbone(model, params, batch_stats, pixel_mean, pixel_std)
-    act_scales = calibrate(fold, calib_batches)
+    act_scales = calibrate(fold, calib_batches, calib_percentile)
 
     qtree = {
         "stem": _quantize_weights(fold["stem"]),

@@ -147,3 +147,26 @@ def test_quantized_save_load_roundtrip(tmp_path):
     qfn2 = QuantizedEmbed.load(p)
     got = np.asarray(qfn2(jnp.asarray(imgs)))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_percentile_calibration():
+    """Outlier-clipped calibration produces tighter scales and embeddings
+    that stay close to fp32."""
+    hw = (64, 32)
+    cfg, model, params, bstats = _model("resnet18", hw)
+    calib = [_imgs(4, hw)]
+    q_max = quantize_reid_model(
+        model, params, bstats, calib, MEAN, STD, calib_percentile=100.0
+    )
+    q_pct = quantize_reid_model(
+        model, params, bstats, calib, MEAN, STD, calib_percentile=99.5
+    )
+    for k, s_pct in q_pct.qtree["act_scales"].items():
+        assert float(s_pct) <= float(q_max.qtree["act_scales"][k]) + 1e-9
+    imgs = _imgs(8, hw, seed=5)
+    ref = np.asarray(_embed_fp(model, params, bstats, imgs))
+    got = np.asarray(q_pct(jnp.asarray(imgs)))
+    cos = np.sum(ref * got, 1) / (
+        np.linalg.norm(ref, axis=1) * np.linalg.norm(got, axis=1)
+    )
+    assert cos.min() > 0.98, cos
