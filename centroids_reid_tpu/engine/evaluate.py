@@ -104,11 +104,38 @@ def make_embed_many_fn(model, cfg):
 _EVAL_SCAN_BATCHES = 8
 
 
+def _maybe_int8_eval_fn(cfg, model, params_model, batch_stats, records,
+                        store):
+    """Deployment-accuracy evaluation: when ``TPU.INT8_EVAL`` is set AND
+    this is an ONLY_TEST run, embeddings come from the int8 PTQ serving
+    path (models/quantized.py), so the reported mAP/CMC measure the
+    *deployed* quantized model. Training-loop validation always stays
+    bf16/fp32 (per-epoch recalibration would be both slow and a moving
+    metric)."""
+    if not (cfg.TPU.INT8_EVAL and cfg.TEST.ONLY_TEST):
+        return None
+    from ..models.quantized import quantize_reid_model
+
+    n = max(1, cfg.TPU.INT8_CALIB_BATCHES) * cfg.TEST.IMS_PER_BATCH
+    calib = [
+        b["images"][b["valid"]]
+        for b in EvalLoader(records[:n], cfg, store=store)
+    ]
+    qfn = quantize_reid_model(
+        model, params_model, batch_stats, calib,
+        cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+        calib_percentile=cfg.TPU.INT8_CALIB_PCT,
+    )
+    print("Evaluation uses the int8 serving path (TPU.INT8_EVAL)")
+    return lambda _p, _bs, imgs_sb: qfn.embed_many(imgs_sb)
+
+
 def extract_embeddings(
-    model, cfg, params_model, batch_stats, loader: EvalLoader
+    model, cfg, params_model, batch_stats, loader: EvalLoader,
+    embed_many_fn=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (embeddings [N,D] fp32, pids [N], camids [N])."""
-    embed_many = make_embed_many_fn(model, cfg)
+    embed_many = embed_many_fn or make_embed_many_fn(model, cfg)
     embs, pids, camids = [], [], []
     chunk: list = []
 
@@ -201,9 +228,20 @@ def run_validation(
     cfg, model, params_model, batch_stats, dataset, use_centroids: bool
 ) -> Dict[str, float]:
     """Full validation pass; returns {'mAP': ..., 'Top-1': ..., ...}."""
-    loader = EvalLoader(dataset.val, cfg, store=_shared_store(dataset, cfg))
+    store = _shared_store(dataset, cfg)
+    loader = EvalLoader(dataset.val, cfg, store=store)
+    # int8 deployment-accuracy eval (ONLY_TEST + TPU.INT8_EVAL); one
+    # quantization per dataset object covers the double eval
+    int8_fn = getattr(dataset, "_int8_eval_fn", None)
+    if int8_fn is None:
+        int8_fn = _maybe_int8_eval_fn(
+            cfg, model, params_model, batch_stats, dataset.val, store
+        )
+        if int8_fn is not None:
+            dataset._int8_eval_fn = int8_fn
     emb, pids, camids = extract_embeddings(
-        model, cfg, params_model, batch_stats, loader
+        model, cfg, params_model, batch_stats, loader,
+        embed_many_fn=int8_fn,
     )
     m, evaluator = compute_reid_metrics(
         cfg, emb, pids, camids, dataset.num_query, use_centroids,

@@ -115,3 +115,41 @@ def test_only_test_path_with_orbax_checkpoint(separable_root, tmp_path):
     out = run_single(cfg2, "ctl", "test_run")
     assert "test_centroids_mAP" in out and "test_plain_mAP" in out
     assert np.isfinite(out["test_centroids_mAP"])
+
+
+def test_only_test_int8_deployment_accuracy(separable_root, tmp_path):
+    """ONLY_TEST + TPU.INT8_EVAL reports the deployed int8 model's metrics;
+    on a separable set the quantized model must match the fp32 mAP."""
+    import glob
+    import os
+
+    cfg = _tiny_cfg(separable_root, tmp_path, "ctl")
+    cfg.SOLVER.MAX_EPOCHS = 1
+    cfg.SOLVER.EVAL_PERIOD = 1
+    fit(cfg, "ctl", str(tmp_path / "pretrain_i8"))
+    ckpts = [
+        c for c in glob.glob(
+            str(tmp_path / "pretrain_i8" / "checkpoints" / "epoch=*")
+        ) if os.path.isdir(c)
+    ]
+    assert ckpts
+
+    cfg2 = _tiny_cfg(separable_root, tmp_path, "ctl")
+    cfg2.TEST.ONLY_TEST = True
+    cfg2.MODEL.PRETRAIN_PATH = ckpts[0]
+    cfg2.LOG_DIR = str(tmp_path / "logs_i8_fp")
+    out_fp = run_single(cfg2, "ctl", "test_run_fp")
+
+    cfg3 = _tiny_cfg(separable_root, tmp_path, "ctl")
+    cfg3.TEST.ONLY_TEST = True
+    cfg3.MODEL.PRETRAIN_PATH = ckpts[0]
+    cfg3.TPU.INT8_EVAL = True
+    cfg3.TPU.INT8_CALIB_BATCHES = 1
+    cfg3.LOG_DIR = str(tmp_path / "logs_i8")
+    out_q = run_single(cfg3, "ctl", "test_run_i8")
+    assert out_q["test_plain_mAP"] == pytest.approx(
+        out_fp["test_plain_mAP"], abs=0.05
+    )
+    assert out_q["test_centroids_mAP"] == pytest.approx(
+        out_fp["test_centroids_mAP"], abs=0.05
+    )
