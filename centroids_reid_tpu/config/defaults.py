@@ -161,6 +161,10 @@ def get_default_cfg() -> ConfigNode:
     # lower (e.g. 99.9) clips outliers — more robust on trained
     # checkpoints with heavy-tailed activations.
     _C.TPU.INT8_CALIB_PCT = 100.0
+    # Optional .npz path for the quantized model: loaded when it exists
+    # (skipping calibration entirely), written after calibration when it
+    # does not — one validated artifact serves every later run.
+    _C.TPU.INT8_CACHE_PATH = ""
 
     return _C
 

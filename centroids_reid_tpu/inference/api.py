@@ -79,7 +79,13 @@ def maybe_int8_embed_fn(cfg, model, params, batch_stats, paths, store=None):
         return None
     from ..data.datasets import Record
     from ..data.loader import EvalLoader
-    from ..models.quantized import quantize_reid_model
+    from ..models.quantized import QuantizedEmbed, quantize_reid_model
+
+    cache_path = cfg.TPU.INT8_CACHE_PATH
+    if cache_path and os.path.exists(cache_path):
+        log.info(f"int8 serving path: loading quantized model {cache_path}")
+        qfn = QuantizedEmbed.load(cache_path)
+        return lambda _p, _bs, imgs_u8: qfn(imgs_u8)
 
     n_calib = max(1, cfg.TPU.INT8_CALIB_BATCHES)
     # slice the record list up front — no mid-iteration break, so the
@@ -97,6 +103,9 @@ def maybe_int8_embed_fn(cfg, model, params, batch_stats, paths, store=None):
         calib_percentile=cfg.TPU.INT8_CALIB_PCT,
     )
     log.info(f"int8 serving path active (calibrated on {len(calib)} batches)")
+    if cache_path:
+        qfn.save(cache_path)
+        log.info(f"saved quantized model to {cache_path}")
     return lambda _p, _bs, imgs_u8: qfn(imgs_u8)
 
 

@@ -265,3 +265,25 @@ def test_retrieval_service_int8(ckpt_dir, image_dirs, tmp_path):
     for qi, qpath in enumerate(qfiles):
         expected = os.path.basename(qpath)[2:]
         assert os.path.basename(res_paths[qi, 0]) == expected
+
+
+def test_int8_cache_path_roundtrip(ckpt_dir, image_dirs, tmp_path):
+    """TPU.INT8_CACHE_PATH: first run calibrates and saves, second run
+    loads the artifact (no recalibration) and produces identical output."""
+    gallery, _ = image_dirs
+    cache = str(tmp_path / "quant.npz")
+
+    def run(outdir):
+        cfg = _cfg(tmp_path)
+        cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+        cfg.DATASETS.ROOT_DIR = gallery
+        cfg.TPU.INT8_EVAL = True
+        cfg.TPU.INT8_CALIB_BATCHES = 1
+        cfg.TPU.INT8_CACHE_PATH = cache
+        cfg.OUTPUT_DIR = str(tmp_path / outdir)
+        return build_embeddings(cfg, images_in_subfolders=False)[0]
+
+    emb1 = run("o1")
+    assert os.path.exists(cache)
+    emb2 = run("o2")
+    np.testing.assert_array_equal(emb1, emb2)
