@@ -64,7 +64,7 @@ print(f"LOSS {proc_id} {float(metrics['loss']):.6f}", flush=True)
 """
 
 
-def _run_two_procs(tmp_path, script, extra_args=(), timeout=420):
+def _run_two_procs(tmp_path, script, extra_args=(), timeout=600):
     worker = tmp_path / "worker.py"
     worker.write_text(script)
     # the worker resolves the repo root relative to its own path
@@ -171,7 +171,7 @@ def test_two_process_fit_end_to_end(tmp_path, data_path):
     log_dir.mkdir()
     outs = _run_two_procs(
         tmp_path, _FIT_WORKER,
-        extra_args=(ds_root, str(log_dir), data_path), timeout=540,
+        extra_args=(ds_root, str(log_dir), data_path), timeout=720,
     )
     finals = {}
     for out in outs:
