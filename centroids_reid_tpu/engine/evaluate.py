@@ -114,17 +114,12 @@ def _maybe_int8_eval_fn(cfg, model, params_model, batch_stats, records,
     metric)."""
     if not (cfg.TPU.INT8_EVAL and cfg.TEST.ONLY_TEST):
         return None
-    from ..models.quantized import quantize_reid_model
+    from ..models.quantized import quantize_for_serving
 
-    n = max(1, cfg.TPU.INT8_CALIB_BATCHES) * cfg.TEST.IMS_PER_BATCH
-    calib = [
-        b["images"][b["valid"]]
-        for b in EvalLoader(records[:n], cfg, store=store)
-    ]
-    qfn = quantize_reid_model(
-        model, params_model, batch_stats, calib,
-        cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
-        calib_percentile=cfg.TPU.INT8_CALIB_PCT,
+    # shared flow: honours TPU.INT8_CACHE_PATH, so the evaluated model IS
+    # the saved serving artifact when one is configured
+    qfn = quantize_for_serving(
+        cfg, model, params_model, batch_stats, records, store=store
     )
     print("Evaluation uses the int8 serving path (TPU.INT8_EVAL)")
     return lambda _p, _bs, imgs_sb: qfn.embed_many(imgs_sb)

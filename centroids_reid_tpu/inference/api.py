@@ -70,42 +70,20 @@ def _shared_store(cfg):
 
 
 def maybe_int8_embed_fn(cfg, model, params, batch_stats, paths, store=None):
-    """When TPU.INT8_EVAL: build the int8 serving embed fn, self-calibrated
-    on the leading TPU.INT8_CALIB_BATCHES of the input folder
-    (models/quantized.py). Returns None when disabled. Pass the same
-    ``store`` the subsequent run_inference uses so calibration images are
-    decoded once."""
+    """When TPU.INT8_EVAL: build the int8 serving embed fn via the shared
+    cfg-driven flow (models/quantized.quantize_for_serving — cache
+    load/validate or self-calibration on the leading input batches).
+    Returns None when disabled. Pass the same ``store`` the subsequent
+    run_inference uses so calibration images are decoded once."""
     if not cfg.TPU.INT8_EVAL:
         return None
     from ..data.datasets import Record
-    from ..data.loader import EvalLoader
-    from ..models.quantized import QuantizedEmbed, quantize_reid_model
+    from ..models.quantized import quantize_for_serving
 
-    cache_path = cfg.TPU.INT8_CACHE_PATH
-    if cache_path and os.path.exists(cache_path):
-        log.info(f"int8 serving path: loading quantized model {cache_path}")
-        qfn = QuantizedEmbed.load(cache_path)
-        return lambda _p, _bs, imgs_u8: qfn(imgs_u8)
-
-    n_calib = max(1, cfg.TPU.INT8_CALIB_BATCHES)
-    # slice the record list up front — no mid-iteration break, so the
-    # loader's producer thread always runs to completion
-    batch_size = cfg.TEST.IMS_PER_BATCH
-    head = paths[: n_calib * batch_size]
-    records = [Record(p, 0, 0, i) for i, p in enumerate(head)]
-    calib = []
-    for batch in EvalLoader(records, cfg, store=store):
-        # drop the zero-padded tail rows — they would skew the ranges low
-        calib.append(batch["images"][batch["valid"]])
-    qfn = quantize_reid_model(
-        model, params, batch_stats, calib,
-        cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
-        calib_percentile=cfg.TPU.INT8_CALIB_PCT,
+    records = [Record(p, 0, 0, i) for i, p in enumerate(paths)]
+    qfn = quantize_for_serving(
+        cfg, model, params, batch_stats, records, store=store
     )
-    log.info(f"int8 serving path active (calibrated on {len(calib)} batches)")
-    if cache_path:
-        qfn.save(cache_path)
-        log.info(f"saved quantized model to {cache_path}")
     return lambda _p, _bs, imgs_u8: qfn(imgs_u8)
 
 

@@ -84,6 +84,7 @@ class RetrievalService:
             self._qfn = quantize_reid_model(
                 self.model, self.params, self.batch_stats,
                 [np.asarray(int8_calib_imgs)], mean, std,
+                calib_percentile=cfg.TPU.INT8_CALIB_PCT,
             )
         qfn = self._qfn
         # int8: params/batch_stats slots carry (qtree, None) so the weights

@@ -41,7 +41,7 @@ int8-vs-fp32 embedding cosine, and mAP preservation on a separable set.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -279,9 +279,15 @@ class _FpEngine:
         else:
             # percentile clipping: robust to activation outliers, which
             # abs-max calibration otherwise lets blow up the scale (and
-            # with it the effective resolution of every inlier)
+            # with it the effective resolution of every inlier). The
+            # percentile is taken over a strided subsample (<= 2^20
+            # elements) — jnp.percentile lowers to a full sort, and
+            # sorting every multi-hundred-MB activation just to estimate
+            # a scale would dominate calibration.
+            flat = a.reshape(-1)
+            stride = -(-flat.shape[0] // (1 << 20))
             self.maxes[name] = jnp.percentile(
-                a.reshape(-1), self.percentile
+                flat[::stride], self.percentile
             )
         return x
 
@@ -570,10 +576,24 @@ class QuantizedEmbed:
         engine/evaluate.make_embed_many_fn)."""
         return self._run_many(self.qtree, imgs_u8_sb)
 
-    def save(self, path: str) -> None:
+    @staticmethod
+    def npz_path(path: str) -> str:
+        """np.savez appends '.npz' to bare paths; normalise once so save,
+        load and existence checks always agree."""
+        return path if path.endswith(".npz") else path + ".npz"
+
+    def save(self, path: str, extra_meta: Optional[Dict] = None) -> None:
         """Serialise the quantized model (weights, scales, plan) to one
-        ``.npz`` — deploy without re-calibration."""
+        ``.npz`` — deploy without re-calibration. ``extra_meta`` (a small
+        JSON-able dict, e.g. checkpoint identity + calibration settings) is
+        stored verbatim and surfaced as ``.extra_meta`` on load so callers
+        can detect stale artifacts."""
         import json
+        import os
+
+        path = self.npz_path(path)
+        parent = os.path.dirname(os.path.abspath(path))
+        os.makedirs(parent, exist_ok=True)
 
         flat: Dict[str, np.ndarray] = {}
 
@@ -594,6 +614,7 @@ class QuantizedEmbed:
             "n_blocks": len(self.qtree["blocks"]),
             "acc_dtype": jnp.dtype(self._acc_dtype).name,
             "use_pallas": self._use_pallas,
+            "extra": extra_meta or {},
         })
         np.savez(path, __meta__=np.asarray(meta), **flat)
 
@@ -601,7 +622,7 @@ class QuantizedEmbed:
     def load(path: str) -> "QuantizedEmbed":
         import json
 
-        raw = np.load(path, allow_pickle=False)
+        raw = np.load(QuantizedEmbed.npz_path(path), allow_pickle=False)
         meta = json.loads(str(raw["__meta__"]))
 
         tree: Dict[str, Any] = {}
@@ -625,11 +646,13 @@ class QuantizedEmbed:
             "pad_value": np.asarray(tree["pad_value"], np.int32),
         }
         plan = [tuple(p) for p in meta["plan"]]
-        return QuantizedEmbed(
+        out = QuantizedEmbed(
             qtree, plan, meta["stem_relu"],
             use_pallas=meta.get("use_pallas", False),
             acc_dtype=jnp.dtype(meta.get("acc_dtype", "bfloat16")),
         )
+        out.extra_meta = meta.get("extra", {})
+        return out
 
 
 def quantize_reid_model(
@@ -661,6 +684,62 @@ def quantize_reid_model(
         qtree, fold["plan"], fold["stem_relu"], use_pallas=use_pallas,
         acc_dtype=acc_dtype,
     )
+
+
+def quantize_for_serving(cfg, model, params, batch_stats, records,
+                         store=None) -> QuantizedEmbed:
+    """The cfg-driven serving flow shared by the inference CLIs, the
+    ONLY_TEST deployment-accuracy eval and RetrievalService:
+
+    * ``TPU.INT8_CACHE_PATH`` set and present: load the saved artifact —
+      after validating its identity metadata (model name, input size,
+      checkpoint path, calibration settings) against the current config; a
+      mismatch recalibrates (and overwrites) rather than silently serving
+      a stale model.
+    * otherwise: self-calibrate on the leading ``TPU.INT8_CALIB_BATCHES``
+      of ``records`` (a Record list), honouring ``TPU.INT8_CALIB_PCT``,
+      and save to the cache path when one is configured.
+    """
+    import logging
+    import os
+
+    from ..data.loader import EvalLoader
+
+    log = logging.getLogger(__name__)
+    identity = {
+        "model_name": model.backbone_name,
+        "last_stride": model.last_stride,
+        "input_size": list(cfg.INPUT.SIZE_TEST),
+        "pretrain_path": str(cfg.MODEL.PRETRAIN_PATH),
+        "calib_pct": float(cfg.TPU.INT8_CALIB_PCT),
+    }
+    cache = cfg.TPU.INT8_CACHE_PATH
+    cache = QuantizedEmbed.npz_path(cache) if cache else ""
+    if cache and os.path.exists(cache):
+        qfn = QuantizedEmbed.load(cache)
+        if qfn.extra_meta == identity:
+            log.info(f"int8 serving: loaded quantized model {cache}")
+            return qfn
+        log.warning(
+            f"int8 serving: cached artifact {cache} was built for "
+            f"{qfn.extra_meta}, current run is {identity} — recalibrating"
+        )
+
+    n = max(1, cfg.TPU.INT8_CALIB_BATCHES) * cfg.TEST.IMS_PER_BATCH
+    calib = [
+        b["images"][b["valid"]]
+        for b in EvalLoader(records[:n], cfg, store=store)
+    ]
+    qfn = quantize_reid_model(
+        model, params, batch_stats, calib,
+        cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+        calib_percentile=cfg.TPU.INT8_CALIB_PCT,
+    )
+    log.info(f"int8 serving active (calibrated on {len(calib)} batches)")
+    if cache:
+        qfn.save(cache, extra_meta=identity)
+        log.info(f"saved quantized model to {cache}")
+    return qfn
 
 
 def folded_fp_embed(model, params, batch_stats, pixel_mean, pixel_std):

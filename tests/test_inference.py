@@ -287,3 +287,33 @@ def test_int8_cache_path_roundtrip(ckpt_dir, image_dirs, tmp_path):
     assert os.path.exists(cache)
     emb2 = run("o2")
     np.testing.assert_array_equal(emb1, emb2)
+
+
+def test_int8_cache_validation_and_bare_path(ckpt_dir, image_dirs, tmp_path):
+    """Bare cache paths get the .npz suffix consistently, and a cached
+    artifact built under a different config is rejected (recalibrated),
+    not silently served."""
+    gallery, _ = image_dirs
+    cache = str(tmp_path / "qcache")  # no extension on purpose
+
+    def run(outdir, size):
+        cfg = _cfg(tmp_path)
+        cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+        cfg.DATASETS.ROOT_DIR = gallery
+        cfg.INPUT.SIZE_TEST = list(size)
+        cfg.TPU.INT8_EVAL = True
+        cfg.TPU.INT8_CALIB_BATCHES = 1
+        cfg.TPU.INT8_CACHE_PATH = cache
+        cfg.OUTPUT_DIR = str(tmp_path / outdir)
+        return build_embeddings(cfg, images_in_subfolders=False)[0]
+
+    run("c1", (32, 16))
+    assert os.path.exists(cache + ".npz")
+    first_mtime = os.path.getmtime(cache + ".npz")
+    # identity mismatch (different input size) must recalibrate+overwrite
+    run("c2", (64, 32))
+    assert os.path.getmtime(cache + ".npz") > first_mtime
+    # matching rerun loads without rewriting
+    second_mtime = os.path.getmtime(cache + ".npz")
+    run("c3", (64, 32))
+    assert os.path.getmtime(cache + ".npz") == second_mtime
