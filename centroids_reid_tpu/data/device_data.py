@@ -33,7 +33,7 @@ def build_image_bank(
     import concurrent.futures
     import os
 
-    from ..native import decode_resize_batch
+    from ..native import available, decode_resize_batch
 
     h, w = size_hw
     bank = np.zeros((len(records), h, w, 3), np.uint8)
@@ -41,16 +41,20 @@ def build_image_bank(
 
     # Native fast path: GIL-free threaded C++ decode straight into the
     # bank (bit-exact vs the PIL path, tests/test_native.py); per-image
-    # failures (non-JPEG files etc.) are re-decoded below via PIL.
-    blobs = []
-    for rec in records:
-        with open(rec.path, "rb") as f:
-            blobs.append(f.read())
-    res = decode_resize_batch(blobs, size_hw, out=bank, n_threads=workers)
-    if res is not None:
-        _, todo = res
-    else:
-        todo = list(range(len(records)))
+    # failures (non-JPEG files etc.) are re-decoded below via PIL. Only
+    # read the compressed bytes when the native library exists — else the
+    # PIL loop below would re-read every file (double I/O for nothing).
+    todo = list(range(len(records)))
+    if available():
+        blobs = []
+        for rec in records:
+            with open(rec.path, "rb") as f:
+                blobs.append(f.read())
+        res = decode_resize_batch(blobs, size_hw, out=bank,
+                                  n_threads=workers)
+        if res is not None:
+            _, todo = res
+        del blobs
 
     store = ImageStore(size_hw, cache=cache)
 

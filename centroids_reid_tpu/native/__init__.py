@@ -37,10 +37,19 @@ _build_failed = False
 
 
 def _build_dir() -> str:
+    """Per-user, mode-0700 build cache. The .so path is predictable, so a
+    shared world-writable directory would let another local user plant a
+    library that ctypes would happily load — refuse any cache dir we do
+    not exclusively own."""
     d = os.environ.get("CRT_NATIVE_CACHE") or os.path.join(
-        tempfile.gettempdir(), "crt_native"
+        tempfile.gettempdir(), f"crt_native_{os.getuid()}"
     )
-    os.makedirs(d, exist_ok=True)
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.geteuid() or (st.st_mode & 0o022):
+        raise RuntimeError(
+            f"native build cache {d} is not exclusively owned by this user"
+        )
     return d
 
 
@@ -83,11 +92,45 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ]
             assert lib.crt_abi_version() == 1
+            _self_check(lib)
             _lib = lib
         except Exception as e:  # noqa: BLE001 — any failure means "use PIL"
             log.info(f"native decode unavailable ({e}); using PIL")
             _build_failed = True
     return _lib
+
+
+def _self_check(lib) -> None:
+    """Bit-exactness gate at load time: decode+resize one synthetic JPEG
+    through the freshly-loaded library and through PIL. Pillow bundles
+    libjpeg-turbo while ``-ljpeg`` links the system library — if the host
+    has a different libjpeg (e.g. IJG v9, different IDCT arithmetic), the
+    'interchangeable mid-dataset' invariant would silently break; instead
+    the native path disables itself here."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.RandomState(1234)
+    arr = rng.randint(0, 256, (24, 17, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=85)
+    data = buf.getvalue()
+    ref = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (20, 40), Image.BILINEAR
+        ),
+        np.uint8,
+    )
+    got = np.empty((40, 20, 3), np.uint8)
+    rc = lib.crt_decode_resize(
+        data, len(data), 40, 20,
+        got.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if rc != 0 or not np.array_equal(got, ref):
+        raise RuntimeError(
+            "system libjpeg does not reproduce PIL's decode bytes"
+        )
 
 
 def available() -> bool:
@@ -122,7 +165,18 @@ def decode_resize_batch(
     n = len(blobs)
     if out is None:
         out = np.empty((n, h, w, 3), np.uint8)
-    assert out.shape == (n, h, w, 3) and out.dtype == np.uint8
+    # hard checks, not asserts: the C side writes through the raw base
+    # pointer assuming a dense [N,H,W,3] uint8 buffer, so a wrong shape /
+    # dtype / non-contiguous view would be silent memory corruption
+    if (
+        out.shape != (n, h, w, 3)
+        or out.dtype != np.uint8
+        or not out.flags.c_contiguous
+    ):
+        raise ValueError(
+            f"out must be C-contiguous uint8 [{n},{h},{w},3]; got "
+            f"{out.shape} {out.dtype} contiguous={out.flags.c_contiguous}"
+        )
     datas = (ctypes.c_char_p * n)(*blobs)
     lens = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
     rcs = (ctypes.c_int * n)()

@@ -91,18 +91,19 @@ int precompute_coeffs(int in_size, int out_size, std::vector<int>& bounds,
     return ksize;
 }
 
-void resample_horizontal(const uint8_t* in, int in_w, int rows, int ch,
-                         uint8_t* out, int out_w, int ksize,
-                         const std::vector<int>& bounds,
-                         const std::vector<int32_t>& kk) {
+// Packed-RGB only (3 channels unrolled into the accumulators).
+void resample_horizontal_rgb(const uint8_t* in, int in_w, int rows,
+                             uint8_t* out, int out_w, int ksize,
+                             const std::vector<int>& bounds,
+                             const std::vector<int32_t>& kk) {
     for (int yy = 0; yy < rows; yy++) {
-        const uint8_t* row = in + static_cast<size_t>(yy) * in_w * ch;
-        uint8_t* orow = out + static_cast<size_t>(yy) * out_w * ch;
+        const uint8_t* row = in + static_cast<size_t>(yy) * in_w * 3;
+        uint8_t* orow = out + static_cast<size_t>(yy) * out_w * 3;
         for (int xx = 0; xx < out_w; xx++) {
             int xmin = bounds[static_cast<size_t>(xx) * 2 + 0];
             int xmax = bounds[static_cast<size_t>(xx) * 2 + 1];
             const int32_t* k = &kk[static_cast<size_t>(xx) * ksize];
-            const uint8_t* px = row + static_cast<size_t>(xmin) * ch;
+            const uint8_t* px = row + static_cast<size_t>(xmin) * 3;
             int ss0 = 1 << (PRECISION_BITS - 1), ss1 = ss0, ss2 = ss0;
             for (int x = 0; x < xmax; x++) {
                 const int32_t w = k[x];
@@ -115,7 +116,6 @@ void resample_horizontal(const uint8_t* in, int in_w, int rows, int ch,
             orow[xx * 3 + 2] = clip8(ss2);
         }
     }
-    (void)ch;  // packed RGB only (ch == 3)
 }
 
 void resample_vertical(const uint8_t* in, int width, int ch, uint8_t* out,
@@ -158,7 +158,7 @@ void resize_pillow_bilinear(const uint8_t* in, int in_h, int in_w, int ch,
             temp.resize(static_cast<size_t>(in_h) * out_w * ch);
             dst = temp.data();
         }
-        resample_horizontal(cur, cur_w, cur_h, ch, dst, out_w, ks, hb, hk);
+        resample_horizontal_rgb(cur, cur_w, cur_h, dst, out_w, ks, hb, hk);
         cur = dst;
         cur_w = out_w;
     }
@@ -220,6 +220,17 @@ int decode_rgb(const unsigned char* data, size_t len,
         jpeg_destroy_decompress(&cinfo);
         return 4;
     }
+    // Decompression-bomb guard mirroring PIL's Image.MAX_IMAGE_PIXELS
+    // (178,956,970): larger declared dimensions defer to the PIL path,
+    // which warns/raises — keeping raise-vs-decode behaviour identical
+    // across the two "interchangeable" paths (and protecting CPU-poor
+    // TPU hosts from multi-GB allocations driven by a 200-byte header).
+    if (static_cast<uint64_t>(*h) * static_cast<uint64_t>(*w) >
+        178956970ULL) {
+        jpeg_abort_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        return 6;
+    }
     pixels.resize(static_cast<size_t>(*h) * (*w) * 3);
     while (cinfo.output_scanline < cinfo.output_height) {
         JSAMPROW row =
@@ -240,14 +251,21 @@ int decode_rgb(const unsigned char* data, size_t len,
 extern "C" {
 
 // Decode one JPEG and resize to [out_h, out_w, 3] into out. 0 = success.
+// No C++ exception may escape the extern "C" boundary into ctypes
+// (std::terminate would abort the whole Python process); any throw
+// (e.g. bad_alloc) becomes a nonzero rc and the caller's PIL fallback.
 int crt_decode_resize(const unsigned char* data, size_t len, int out_h,
                       int out_w, unsigned char* out) {
-    std::vector<uint8_t> pixels;
-    int h = 0, w = 0;
-    int rc = decode_rgb(data, len, pixels, &h, &w);
-    if (rc != 0) return rc;
-    resize_pillow_bilinear(pixels.data(), h, w, 3, out, out_h, out_w);
-    return 0;
+    try {
+        std::vector<uint8_t> pixels;
+        int h = 0, w = 0;
+        int rc = decode_rgb(data, len, pixels, &h, &w);
+        if (rc != 0) return rc;
+        resize_pillow_bilinear(pixels.data(), h, w, 3, out, out_h, out_w);
+        return 0;
+    } catch (...) {
+        return 7;
+    }
 }
 
 // Batch variant: n images into out [n, out_h, out_w, 3]; rcs[i] per-image
@@ -267,9 +285,19 @@ void crt_decode_resize_batch(const unsigned char** datas, const size_t* lens,
         return;
     }
     if (n_threads > n) n_threads = n;
+    // No exception may unwind past joinable std::threads (their dtor
+    // terminates) or the extern "C" boundary: spawn with an explicit
+    // count, cover any un-spawned strides inline, then join.
     std::vector<std::thread> threads;
     threads.reserve(n_threads);
-    for (int t = 0; t < n_threads; t++) threads.emplace_back(work, t, n_threads);
+    int spawned = 0;
+    try {
+        for (; spawned < n_threads; spawned++)
+            threads.emplace_back(work, spawned, n_threads);
+    } catch (...) {
+        // std::system_error under thread exhaustion: fall through
+    }
+    for (int t = spawned; t < n_threads; t++) work(t, n_threads);
     for (auto& th : threads) th.join();
 }
 

@@ -55,8 +55,12 @@ CASES = [
 
 @pytest.mark.parametrize("case", CASES)
 def test_bit_exact_vs_pil(case):
+    import zlib
+
     ih, iw, oh, ow, mode, kw = case
-    rng = np.random.RandomState(hash(str(case)) % 2**31)
+    # crc32, not hash(): PYTHONHASHSEED randomises hash() per process,
+    # which would make a failing pixel pattern irreproducible
+    rng = np.random.RandomState(zlib.crc32(str(case).encode()) % 2**31)
     shape = (ih, iw) if mode == "L" else (ih, iw, 3)
     data = _jpeg(rng.randint(0, 255, shape, np.uint8), mode, **kw)
     got = decode_resize(data, (oh, ow))
