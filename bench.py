@@ -190,8 +190,9 @@ def _extra_rows():
     t0 = time.time()
     for name, fn in rows:
         # cold-compile guard: the headline JSON line must always appear
-        # within the driver's budget, extras are best-effort
-        if time.time() - t0 > 420:
+        # within the driver's budget, extras are best-effort (a row that
+        # starts under the limit can still overrun it, hence the margin)
+        if time.time() - t0 > 330:
             out[name] = "skipped (time budget)"
             continue
         try:

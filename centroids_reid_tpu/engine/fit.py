@@ -145,27 +145,59 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
             build_image_bank, dataset.train, size_hw,
             cfg.TPU.CACHE_IMAGES, cfg.DATALOADER.NUM_WORKERS,
         )
-        if mesh is None:
-            try:
-                s_max0 = max_steps_bound(
-                    dataset.train_dict, cfg.SOLVER.IMS_PER_BATCH,
-                    cfg.DATALOADER.NUM_INSTANCE, g,
-                )
-                pk = cfg.SOLVER.IMS_PER_BATCH * cfg.DATALOADER.NUM_INSTANCE
-                h, w = size_hw
-                sds = jax.ShapeDtypeStruct
-                compiled = run_epoch.lower(
+        try:
+            s_max0 = max_steps_bound(
+                dataset.train_dict, cfg.SOLVER.IMS_PER_BATCH,
+                cfg.DATALOADER.NUM_INSTANCE, g,
+            )
+            pk = cfg.SOLVER.IMS_PER_BATCH * cfg.DATALOADER.NUM_INSTANCE
+            h, w = size_hw
+            if mesh is None:
+                def sds(shape, dt, _plan=False):
+                    return jax.ShapeDtypeStruct(shape, dt)
+                state_aval = state
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..parallel.mesh import DATA_AXIS
+
+                repl = NamedSharding(mesh, P())
+                plan_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+
+                def sds(shape, dt, _plan=False):
+                    return jax.ShapeDtypeStruct(
+                        shape, dt, sharding=plan_sh if _plan else repl
+                    )
+
+                state_aval = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        x.shape, x.dtype, sharding=x.sharding
+                    ),
                     state,
-                    sds((len(dataset.train), h, w, 3), jnp.uint8),
-                    sds((s_max0, g, pk), jnp.int32),
-                    sds((s_max0, g, pk), jnp.int32),
-                    sds((s_max0, g, pk), jnp.bool_),
-                    sds((s_max0,), jnp.bool_),
-                    sds((2,), jnp.uint32),
-                ).compile()
-                run_epoch = compiled  # executable handle, no retrace later
-            except Exception as e:  # pragma: no cover — fall back to lazy
-                print(f"AOT epoch compile skipped ({type(e).__name__}: {e})")
+                )
+            compiled = run_epoch.lower(
+                state_aval,
+                sds((len(dataset.train), h, w, 3), jnp.uint8),
+                sds((s_max0, g, pk), jnp.int32, True),
+                sds((s_max0, g, pk), jnp.int32, True),
+                sds((s_max0, g, pk), jnp.bool_, True),
+                sds((s_max0,), jnp.bool_),
+                sds((2,), jnp.uint32),
+            ).compile()
+            run_epoch = compiled  # executable handle, no retrace later
+            if n_proc > 1:
+                # Barrier AFTER the compile: the epoch program's first
+                # collective creates its communicator context at first
+                # execution, and that setup has a hard deadline (XLA:CPU
+                # Gloo: 30 s) which compile-time skew between processes
+                # (cache hit on one, recompile on another) would blow.
+                # The barrier's own context was formed right after
+                # jax.distributed.initialize (runner._warm_collectives)
+                # so it can absorb arbitrary skew.
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("epoch-program-compiled")
+        except Exception as e:  # pragma: no cover — fall back to lazy
+            print(f"AOT epoch compile skipped ({type(e).__name__}: {e})")
         bank = bank_future.result()
         pool.shutdown()
         image_bank = (
@@ -252,7 +284,10 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
                     _put_plan(labels),
                     _put_plan(is_real),
                     _put_replicated(step_valid),
-                    _put_replicated(global_key) if n_proc > 1 else global_key,
+                    # always placed with the compiled program's expected
+                    # (replicated) sharding — the AOT executable now also
+                    # covers the mesh case
+                    _put_replicated(global_key),
                 )
                 agg = {k: [v] for k, v in mean_metrics.items()}
             else:

@@ -130,6 +130,24 @@ def maybe_initialize_distributed():
                 f"jax.distributed initialised: process "
                 f"{jax.process_index()}/{jax.process_count()}"
             )
+            _warm_collectives()
+
+
+def _warm_collectives():
+    """Form the cross-process collective context while processes are still
+    in lockstep (right after ``initialize``'s barrier).
+
+    The first collective otherwise runs at the end of the first big step
+    compile, and compile-time skew between processes (e.g. one hits the
+    persistent cache, the other recompiles) can exceed the transport's
+    hard context-setup deadline — XLA:CPU's Gloo key-value exchange times
+    out at 30 s, which is exactly how tests/test_multihost.py used to
+    flake under load."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() > 1:
+        multihost_utils.sync_global_devices("collective-warmup")
 
 
 def run_main(cfg, mode: str, logger_save_dir: str) -> Dict[str, float]:

@@ -24,6 +24,11 @@ jax.distributed.initialize(
     coordinator_address=f"127.0.0.1:{port}", num_processes=2,
     process_id=proc_id,
 )
+# form the Gloo context while both processes are in lockstep — its 30 s
+# key-value deadline cannot absorb compile-time skew (see
+# engine/runner.py::_warm_collectives)
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("warmup")
 import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from centroids_reid_tpu.config import get_default_cfg
@@ -59,7 +64,14 @@ batch = shard_batch(mesh, {
     "labels": labels.astype(np.int32),
     "is_real": np.ones((g_local, pk), bool),
 })
-state, metrics = step(state, batch)
+# AOT-compile BEFORE the barrier: the step's psum creates a fresh Gloo
+# context whose key-value setup has a hard 30 s deadline, so the first
+# execution must start in lockstep on both processes — compile-time skew
+# (cache hit on one process, recompile on the other) must be absorbed by
+# the barrier, whose own context already exists from the early warmup.
+compiled = step.lower(state, batch).compile()
+multihost_utils.sync_global_devices("compiled")
+state, metrics = compiled(state, batch)
 print(f"LOSS {proc_id} {float(metrics['loss']):.6f}", flush=True)
 """
 
@@ -124,6 +136,8 @@ jax.distributed.initialize(
     coordinator_address=f"127.0.0.1:{port}", num_processes=2,
     process_id=proc_id,
 )
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("warmup")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from centroids_reid_tpu.config import get_default_cfg
 from centroids_reid_tpu.engine.fit import fit
