@@ -227,13 +227,20 @@ def run_validation(
     loader = EvalLoader(dataset.val, cfg, store=store)
     # int8 deployment-accuracy eval (ONLY_TEST + TPU.INT8_EVAL); one
     # quantization per dataset object covers the double eval
-    int8_fn = getattr(dataset, "_int8_eval_fn", None)
+    # cache key includes the checkpoint identity: a reloaded/different
+    # checkpoint on the same dataset object must requantize (stale int8
+    # weights would otherwise be silently reused)
+    int8_key = (str(cfg.MODEL.PRETRAIN_PATH), str(cfg.TPU.INT8_CACHE_PATH))
+    int8_fn = None
+    if getattr(dataset, "_int8_eval_key", None) == int8_key:
+        int8_fn = getattr(dataset, "_int8_eval_fn", None)
     if int8_fn is None:
         int8_fn = _maybe_int8_eval_fn(
             cfg, model, params_model, batch_stats, dataset.val, store
         )
         if int8_fn is not None:
             dataset._int8_eval_fn = int8_fn
+            dataset._int8_eval_key = int8_key
     emb, pids, camids = extract_embeddings(
         model, cfg, params_model, batch_stats, loader,
         embed_many_fn=int8_fn,

@@ -145,6 +145,7 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
             build_image_bank, dataset.train, size_hw,
             cfg.TPU.CACHE_IMAGES, cfg.DATALOADER.NUM_WORKERS,
         )
+        compiled = None
         try:
             s_max0 = max_steps_bound(
                 dataset.train_dict, cfg.SOLVER.IMS_PER_BATCH,
@@ -183,21 +184,33 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
                 sds((s_max0,), jnp.bool_),
                 sds((2,), jnp.uint32),
             ).compile()
-            run_epoch = compiled  # executable handle, no retrace later
-            if n_proc > 1:
-                # Barrier AFTER the compile: the epoch program's first
-                # collective creates its communicator context at first
-                # execution, and that setup has a hard deadline (XLA:CPU
-                # Gloo: 30 s) which compile-time skew between processes
-                # (cache hit on one, recompile on another) would blow.
-                # The barrier's own context was formed right after
-                # jax.distributed.initialize (runner._warm_collectives)
-                # so it can absorb arbitrary skew.
-                from jax.experimental import multihost_utils
-
-                multihost_utils.sync_global_devices("epoch-program-compiled")
         except Exception as e:  # pragma: no cover — fall back to lazy
             print(f"AOT epoch compile skipped ({type(e).__name__}: {e})")
+        if n_proc > 1:
+            # Runs UNCONDITIONALLY (success or not): if the AOT compile
+            # failed on only one process, the others must not enter the
+            # epoch program's collectives while it runs the lazy path —
+            # exchange a success flag so every process takes the SAME
+            # branch, then barrier. Barrier placement AFTER the compile:
+            # the epoch program's first collective creates its communicator
+            # context at first execution, and that setup has a hard
+            # deadline (XLA:CPU Gloo: 30 s) which compile-time skew
+            # between processes (cache hit on one, recompile on another)
+            # would blow. The barrier's own context was formed right after
+            # jax.distributed.initialize (runner._warm_collectives) so it
+            # can absorb arbitrary skew.
+            from jax.experimental import multihost_utils
+
+            ok = multihost_utils.process_allgather(
+                np.asarray(compiled is not None)
+            )
+            if not bool(np.asarray(ok).all()):
+                if compiled is not None:  # pragma: no cover
+                    print("AOT epoch compile discarded (failed on a peer)")
+                compiled = None
+            multihost_utils.sync_global_devices("epoch-program-compiled")
+        if compiled is not None:
+            run_epoch = compiled  # executable handle, no retrace later
         bank = bank_future.result()
         pool.shutdown()
         image_bank = (

@@ -712,6 +712,12 @@ def quantize_for_serving(cfg, model, params, batch_stats, records,
         "input_size": list(cfg.INPUT.SIZE_TEST),
         "pretrain_path": str(cfg.MODEL.PRETRAIN_PATH),
         "calib_pct": float(cfg.TPU.INT8_CALIB_PCT),
+        # normalization constants are folded into the stem weights and the
+        # pad_value, and calibration depth changes the activation scales —
+        # all of them must invalidate a cached artifact
+        "pixel_mean": [float(v) for v in cfg.INPUT.PIXEL_MEAN],
+        "pixel_std": [float(v) for v in cfg.INPUT.PIXEL_STD],
+        "calib_batches": int(cfg.TPU.INT8_CALIB_BATCHES),
     }
     cache = cfg.TPU.INT8_CACHE_PATH
     cache = QuantizedEmbed.npz_path(cache) if cache else ""
@@ -726,10 +732,20 @@ def quantize_for_serving(cfg, model, params, batch_stats, records,
         )
 
     n = max(1, cfg.TPU.INT8_CALIB_BATCHES) * cfg.TEST.IMS_PER_BATCH
+    # keep only full batches so every calibration pass shares one static
+    # shape (a valid-filtered partial tail would retrace the jitted
+    # calibration program per unique shape); the loader zero-pads the tail,
+    # so a partial batch is detectable via its valid mask
     calib = [
         b["images"][b["valid"]]
         for b in EvalLoader(records[:n], cfg, store=store)
+        if bool(b["valid"].all())
     ]
+    if not calib:  # fewer records than one batch: pad by repetition instead
+        b = next(iter(EvalLoader(records[:n], cfg, store=store)))
+        imgs = np.asarray(b["images"][b["valid"]])
+        reps = -(-cfg.TEST.IMS_PER_BATCH // max(len(imgs), 1))
+        calib = [np.tile(imgs, (reps, 1, 1, 1))[: cfg.TEST.IMS_PER_BATCH]]
     qfn = quantize_reid_model(
         model, params, batch_stats, calib,
         cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,

@@ -63,8 +63,20 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 def _pick_tile(m: int, unit: int, row_bytes: int) -> int:
     """Rows per grid step: a multiple of ``unit`` dividing ``m``, with
-    tile * row_bytes within the VMEM budget."""
+    tile * row_bytes within the VMEM budget.
+
+    The minimum tile is ``unit`` rows (one indivisible work item: 8-row
+    alignment for matmuls, one whole image for conv3x3); if even that
+    exceeds the budget the caller's shapes cannot be tiled here — fail
+    loudly instead of handing Mosaic a block that spills or refuses to
+    compile."""
     target = max(1, _VMEM_BUDGET // max(row_bytes, 1))
+    if unit > target:
+        raise ValueError(
+            f"int8 kernel tile of {unit} rows x {row_bytes} B/row exceeds "
+            f"the {_VMEM_BUDGET >> 20} MB VMEM budget; use the XLA "
+            f"fallback (use_pallas=False) for this shape"
+        )
     tile = unit
     while tile * 2 <= target and m % (tile * 2) == 0 and tile * 2 <= m:
         tile *= 2
