@@ -27,10 +27,18 @@ from centroids_reid_tpu.ops.retrieval import (
     _scores_xla,
     _topk_pallas,
     _topk_xla,
+    topk_select,
 )
 
 
-def bench(fn, qf, gf, k, reps=20):
+def bench(fn, qf, gf, k, n1=5, n2=20):
+    """Per-invocation device time by the DIFFERENCE method: run the kernel
+    n1 and n2 times inside one jitted scan and divide the wall-time delta
+    by (n2 - n1). This cancels the dev tunnel's ~45 ms fixed dispatch cost
+    (which would otherwise dominate and is not a property of the kernel);
+    two query buffers are cycled so XLA cannot hoist the loop body.
+    Completion is forced with a scalar transfer — block_until_ready returns
+    early through the tunnel."""
     d = gf.shape[1]
     # f32 accumulation WITHOUT materialising an f32 copy of the gallery
     # (a 1M x 2048 f32 copy is 8 GB of HBM)
@@ -43,16 +51,24 @@ def bench(fn, qf, gf, k, reps=20):
     if pad:
         gf = jnp.concatenate([gf, jnp.zeros((pad, d), gf.dtype)])
         gn = jnp.concatenate([gn, jnp.full((1, pad), jnp.inf)], axis=1)
-    v, i = fn(qf, gf, gn, k)
-    # NOTE: block_until_ready returns early through the axon tunnel; a
-    # scalar transfer is the only reliable completion barrier. Without it
-    # the (multi-minute) Mosaic compile leaks into the timed loop.
-    float(v.sum())
-    t0 = time.time()
-    for _ in range(reps):
-        v, i = fn(qf, gf, gn, k)
-    float(v.sum())  # force completion through the tunnel
-    return (time.time() - t0) / reps
+    qf2 = jnp.stack([qf, qf * jnp.asarray(1.0009765625, qf.dtype)])
+
+    def run(n):
+        @jax.jit
+        def prog(qf2_, gf_, gn_):
+            def body(c, i):
+                v, idx = fn(qf2_[i % 2], gf_, gn_, k)
+                return c + v.sum() + idx.sum().astype(jnp.float32), None
+            c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
+            return c
+
+        float(prog(qf2, gf, gn))  # compile + warm
+        t0 = time.time()
+        float(prog(qf2, gf, gn))
+        return time.time() - t0
+
+    ta, tb = run(n1), run(n2)
+    return (tb - ta) / (n2 - n1)
 
 
 def main():
@@ -79,6 +95,11 @@ def main():
 
     import functools
 
+    def unified(qf_, gf_, gn_, k_):
+        # the production entry: ONE jitted program (scores + selection),
+        # shared by the CLI, RetrievalService and the sharded path
+        return topk_select(qf_, gf_, gn_, k_)
+
     def hier_pallas(qf_, gf_, gn_, k_):
         return _hier_topk(_scores_pallas(qf_, gf_, gn_), k_)
 
@@ -94,6 +115,8 @@ def main():
             hier_pallas, qf16, gf16, k) * 1e3
         if args.bf16_only:
             continue
+        results[f"select_fp32_exact_k{k}_ms"] = bench(
+            unified, qf, gf, k) * 1e3
         results[f"hier_xla_fp32_exact_k{k}_ms"] = bench(
             hier_xla, qf, gf, k) * 1e3
         # round-1 baselines: streaming merge kernel (k<=32) and chunked XLA

@@ -44,7 +44,19 @@ def _barrier(name: str):
 
 
 class CheckpointManager:
-    def __init__(self, root_dir: str, n_saved: int = 1, mode: str = "max"):
+    """``use_async``: single-process saves go through orbax's
+    AsyncCheckpointer — ``save()`` blocks only for the device->host
+    snapshot (mandatory anyway: the train step donates the state buffers,
+    so they must be read before the next step reuses them) and the
+    serialisation/disk write overlaps training. Crash-safe ordering is
+    preserved by DEFERRING destructive follow-ups (previous-best deletion,
+    ring pruning) until the in-flight write has committed — they run at the
+    next save/``wait()``/``close()``. Multi-host saves stay synchronous
+    (the write itself is rank-0's, but orbax runs internal global barriers,
+    and the sync protocol below is what the 2-process tests pin down)."""
+
+    def __init__(self, root_dir: str, n_saved: int = 1, mode: str = "max",
+                 use_async: bool = True):
         self.root = os.path.abspath(root_dir)
         self.auto_dir = os.path.join(self.root, "auto_checkpoints")
         self.best_dir = os.path.join(self.root, "checkpoints")
@@ -53,13 +65,37 @@ class CheckpointManager:
         self.n_saved = n_saved
         self.mode = mode
         self.best_metric: Optional[float] = None
-        self._ckptr = ocp.PyTreeCheckpointer()
+        self._async = bool(use_async) and jax.process_count() == 1
+        self._ckptr = (
+            ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            if self._async else ocp.PyTreeCheckpointer()
+        )
+        self._deferred = []  # destructive follow-ups gated on commit
+
+    def wait(self):
+        """Block until any in-flight async save has committed, then run the
+        deferred destructive follow-ups (in order)."""
+        if self._async:
+            self._ckptr.wait_until_finished()
+        deferred, self._deferred = self._deferred, []
+        for fn in deferred:
+            fn()
+
+    def close(self):
+        self.wait()
+
+    def _after_commit(self, fn):
+        if self._async:
+            self._deferred.append(fn)
+        else:
+            fn()
 
     # -- periodic ring ----------------------------------------------------
     def save_periodic(self, epoch: int, state, cfg=None):
         path = os.path.join(self.auto_dir, f"checkpoint_epoch{epoch}")
         self._save(path, state, cfg)
-        self._prune_ring()
+        # prune only after the new entry is durable (write-new-before-delete)
+        self._after_commit(self._prune_ring)
 
     def _ring_entries(self):
         return sorted(
@@ -98,18 +134,23 @@ class CheckpointManager:
         self._save(path, state, cfg)
         if not _is_main():
             return True
+
         # delete the previous best only after the new one is fully written
         # (crash-safe ordering; the reference's atomic save is documented
-        # but unimplemented, chechpointer_callback.py:26-30)
-        keep = {os.path.abspath(path), os.path.abspath(path + ".cfg.yml")}
-        for d in previous:
-            full = os.path.join(self.best_dir, d)
-            if os.path.abspath(full) in keep:
-                continue
-            if os.path.isdir(full):
-                shutil.rmtree(full, ignore_errors=True)
-            else:
-                os.remove(full)
+        # but unimplemented, chechpointer_callback.py:26-30) — under async
+        # saves this runs once the in-flight write has COMMITTED
+        def _drop_previous():
+            keep = {os.path.abspath(path), os.path.abspath(path + ".cfg.yml")}
+            for d in previous:
+                full = os.path.join(self.best_dir, d)
+                if os.path.abspath(full) in keep:
+                    continue
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                elif os.path.exists(full):
+                    os.remove(full)
+
+        self._after_commit(_drop_previous)
         print(f"Saved best checkpoint (metric={metric:.4f}) at {path}")
         return True
 
@@ -134,6 +175,9 @@ class CheckpointManager:
                     f.write(cfg.dump())
             _barrier("ckpt_save:" + os.path.basename(path))
             return
+        # settle any in-flight write + its deferred deletions before
+        # starting the next save (orbax allows one async save at a time)
+        self.wait()
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckptr.save(path, state)
@@ -142,6 +186,7 @@ class CheckpointManager:
                 f.write(cfg.dump())
 
     def latest_periodic(self) -> Optional[str]:
+        self.wait()  # an in-flight save must be durable before it is read
         entries = self._ring_entries()
         return os.path.join(self.auto_dir, entries[-1]) if entries else None
 

@@ -164,6 +164,53 @@ def extract_embeddings(
     )
 
 
+def extract_embeddings_sharded(
+    model, cfg, params_model, batch_stats, records, store,
+    embed_many_fn=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Multi-host extraction: each process embeds a CONTIGUOUS slice of the
+    records, then embeddings/pids/camids are allgathered and reassembled in
+    order — every process ends with the identical full set.
+
+    Replaces both the reference's rank-0-only eval (other ranks idle at a
+    barrier, modelling/bases.py:169,299-318) and round 2's redundant
+    identical per-process validation: per-process extraction work drops to
+    1/process_count of the val set. Contiguous slicing keeps the gathered
+    concatenation in original record order (num_query split intact)."""
+    from jax.experimental import multihost_utils
+
+    n_proc = jax.process_count()
+    rank = jax.process_index()
+    n = len(records)
+    per = -(-n // n_proc)  # ceil; n >= n_proc checked by the caller
+    lo = min(rank * per, n)
+    hi = min(lo + per, n)
+    loader = EvalLoader(records[lo:hi], cfg, store=store)
+    emb, pids, camids = extract_embeddings(
+        model, cfg, params_model, batch_stats, loader,
+        embed_many_fn=embed_many_fn,
+    )
+    pad = per - emb.shape[0]
+    valid = np.ones(per, bool)
+    if pad:
+        valid[per - pad:] = False
+        emb = np.concatenate(
+            [emb, np.zeros((pad, emb.shape[1]), emb.dtype)]
+        )
+        pids = np.concatenate([pids, np.zeros(pad, pids.dtype)])
+        camids = np.concatenate([camids, np.zeros(pad, camids.dtype)])
+    g_emb, g_pids, g_camids, g_valid = multihost_utils.process_allgather(
+        (emb, pids.astype(np.int64), camids.astype(np.int64), valid)
+    )
+    g_emb = np.asarray(g_emb).reshape(n_proc * per, -1)
+    mask = np.asarray(g_valid).reshape(-1)
+    return (
+        g_emb[mask],
+        np.asarray(g_pids).reshape(-1)[mask],
+        np.asarray(g_camids).reshape(-1)[mask],
+    )
+
+
 def compute_reid_metrics(
     cfg, embeddings, pids, camids, num_query: int, use_centroids: bool,
     return_evaluator: bool = False,
@@ -224,7 +271,6 @@ def run_validation(
 ) -> Dict[str, float]:
     """Full validation pass; returns {'mAP': ..., 'Top-1': ..., ...}."""
     store = _shared_store(dataset, cfg)
-    loader = EvalLoader(dataset.val, cfg, store=store)
     # int8 deployment-accuracy eval (ONLY_TEST + TPU.INT8_EVAL); one
     # quantization per dataset object covers the double eval
     # cache key includes the checkpoint identity: a reloaded/different
@@ -241,10 +287,17 @@ def run_validation(
         if int8_fn is not None:
             dataset._int8_eval_fn = int8_fn
             dataset._int8_eval_key = int8_key
-    emb, pids, camids = extract_embeddings(
-        model, cfg, params_model, batch_stats, loader,
-        embed_many_fn=int8_fn,
-    )
+    if jax.process_count() > 1 and len(dataset.val) >= jax.process_count():
+        emb, pids, camids = extract_embeddings_sharded(
+            model, cfg, params_model, batch_stats, dataset.val, store,
+            embed_many_fn=int8_fn,
+        )
+    else:
+        emb, pids, camids = extract_embeddings(
+            model, cfg, params_model, batch_stats,
+            EvalLoader(dataset.val, cfg, store=store),
+            embed_many_fn=int8_fn,
+        )
     m, evaluator = compute_reid_metrics(
         cfg, emb, pids, camids, dataset.num_query, use_centroids,
         return_evaluator=True,

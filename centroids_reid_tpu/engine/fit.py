@@ -245,9 +245,11 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
 
         Multi-host policy (divergence from the reference's rank-0-only eval
         where other ranks idle at a barrier, modelling/bases.py:169,299-318):
-        every process runs the identical validation locally — same cost as
-        idling, no collective, and every process sees the same metric, which
-        keeps the best-checkpoint decision consistent across hosts."""
+        each process embeds its SLICE of the val set with this local copy,
+        the embeddings are allgathered, and every process ranks the
+        identical full set (engine/evaluate.extract_embeddings_sharded) —
+        1/process_count of the extraction work each, and the same metric
+        everywhere keeps the best-checkpoint decision consistent."""
         if n_proc == 1:
             return tree
         dev = jax.local_devices()[0]
@@ -375,5 +377,6 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
             step=cfg.SOLVER.MAX_EPOCHS,
         )
         metrics_out.update({f"test_{tag}_{k}": v for k, v in val.items()})
+    ckpt.close()  # settle any in-flight async save + deferred pruning
     logger.close()
     return metrics_out

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.transforms import load_and_resize, normalize_batch
-from ..ops.retrieval import _G_TILE, _topk_pallas, _topk_xla
+from ..ops.retrieval import _G_TILE, topk_select
 from .api import load_inference_model
 
 
@@ -64,7 +64,6 @@ class RetrievalService:
             gf = np.concatenate([gf, np.zeros((pad, gf.shape[1]), gf.dtype)])
             gn = np.concatenate([gn, np.full((pad,), np.inf, np.float32)])
         kernel_dtype = jnp.bfloat16 if use_bf16_kernel else jnp.float32
-        self._use_pallas = use_bf16_kernel and self.k <= 32
         self._gf = jax.device_put(jnp.asarray(gf, kernel_dtype))
         self._gf32 = jax.device_put(jnp.asarray(gf[:g], jnp.float32))
         self._gn = jax.device_put(jnp.asarray(gn, jnp.float32)[None, :])
@@ -74,7 +73,6 @@ class RetrievalService:
         emb_dtype = jnp.bfloat16 if cfg.USE_MIXED_PRECISION else jnp.float32
         model = self.model
         k_eff = self.k
-        use_pallas = self._use_pallas
         do_norm = normalize
 
         self._qfn = None
@@ -113,10 +111,14 @@ class RetrievalService:
                 eq = jnp.concatenate(
                     [eq, jnp.zeros((pad_q, eq.shape[1]), eq.dtype)]
                 )
-            if use_pallas:
-                val, idx = _topk_pallas(eq, gf, gn, k_eff, packed=True)
-            else:
-                val, idx = _topk_xla(eq, gf, gn, k_eff)
+            # ONE selection entry for every k (ops.retrieval.topk_select):
+            # bf16 galleries rank on the Pallas kernels (streaming merge at
+            # k <= 32, score kernel + hierarchical top-k beyond — the
+            # reference CLI's canonical depth is k=100,
+            # /root/reference/inference/get_similar.py:57), fp32 galleries
+            # on the exact XLA score path. Round 2 routed k > 32 through
+            # the ~4x slower chunked XLA fallback here.
+            val, idx = topk_select(eq, gf, gn, k_eff)
             val, idx = val[: e.shape[0]], idx[: e.shape[0]]
             # exact re-score + sort of the winners in fp32
             g_sel = jnp.take(gf32, idx, axis=0)

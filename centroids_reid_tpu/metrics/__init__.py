@@ -6,6 +6,7 @@ from .centroids import (
 )
 from .eval_reid import K_LIST, ReidMetrics, camid_sets_to_bitmask, eval_func
 from .r1_map import R1mAP, compute_distmat, l2_normalize_rows
+from .streaming_eval import eval_func_streaming
 
 __all__ = [
     "CentroidEvalSet",
@@ -18,5 +19,6 @@ __all__ = [
     "eval_func",
     "R1mAP",
     "compute_distmat",
+    "eval_func_streaming",
     "l2_normalize_rows",
 ]

@@ -55,8 +55,22 @@ def l2_normalize_rows(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(n, 1e-12)
 
 
+# [Q, G] cells beyond which compute() switches to the streaming evaluator
+# (score matrix + argsort indices would otherwise occupy Q*G*8 bytes of
+# HBM — 2 GB at this threshold; a 3,368-query x 1M-gallery eval needs ~27
+# GB and OOMs a v5e chip on the materialising path).
+_STREAMING_CELLS = 256 * 1024 * 1024
+
+
 class R1mAP:
-    """Functional evaluator (no trainer plumbing needed)."""
+    """Functional evaluator (no trainer plumbing needed).
+
+    ``streaming``: None (auto — switch when Q*G exceeds the HBM-safe
+    threshold), or force True/False. Streaming computes identical metrics
+    by chunked rank-counting (metrics/streaming_eval.py) and never builds
+    the distance matrix — so ``last_distmat`` (rank visualisation) is only
+    available on the materialising path. ``mesh`` shards the streaming
+    gallery over the mesh's gallery axis."""
 
     def __init__(
         self,
@@ -64,11 +78,15 @@ class R1mAP:
         max_rank: int = 50,
         feat_norm: bool = True,
         dist_name: str = "euclidean",
+        streaming: bool = None,
+        mesh=None,
     ):
         self.num_query = num_query
         self.max_rank = max_rank
         self.feat_norm = feat_norm
         self.dist_name = dist_name
+        self.streaming = streaming
+        self.mesh = mesh
 
     def compute(
         self, feats, pids, camids, respect_camids: bool = False
@@ -84,6 +102,19 @@ class R1mAP:
         g_pids = np.asarray(pids[nq:])
         q_camids = np.asarray(camids[:nq])
         g_camids = np.asarray(camids[nq:])
+
+        stream = self.streaming
+        if stream is None:
+            stream = qf.shape[0] * gf.shape[0] > _STREAMING_CELLS
+        if stream:
+            from .streaming_eval import eval_func_streaming
+
+            self._last_distmat_device = None
+            return eval_func_streaming(
+                qf, gf, q_pids, g_pids, q_camids, g_camids,
+                max_rank=self.max_rank, respect_camids=respect_camids,
+                dist=self.dist_name, mesh=self.mesh,
+            )
 
         # the whole ranking pipeline stays on device: distances, argsort
         # and the metric mask algebra — only the scalar-ish results come
@@ -108,4 +139,10 @@ class R1mAP:
     def last_distmat(self) -> np.ndarray:
         """Host copy of the last distance matrix (lazy — only the
         visualisation path pays for the transfer)."""
+        if self._last_distmat_device is None:
+            raise RuntimeError(
+                "last_distmat is unavailable on the streaming evaluation "
+                "path (the distance matrix is never materialised); run "
+                "with streaming=False for rank visualisation"
+            )
         return np.asarray(self._last_distmat_device)

@@ -1,0 +1,333 @@
+"""Streaming CMC / mAP / top-k: evaluation at galleries where [Q, G] can't exist.
+
+The reference chunks the distance matrix on the host past 30k gallery rows
+(/root/reference/utils/reid_metric.py:93-110) but still materialises the
+full [Q, G] matrix and argsorts it (:126-137) — host RAM is the ceiling.
+The round-2 evaluator moved that matrix + argsort into HBM
+(metrics/r1_map.py), making one chip's HBM the ceiling: at a 1M-row
+gallery, Q=3,368 x 1M fp32 scores plus int argsort indices is ~27 GB.
+
+This module removes the ceiling: mAP/CMC/top-k only need each *positive's
+rank*, and a positive's rank among the kept gallery entries equals the
+COUNT of kept entries ordered strictly before it. Counting distributes
+over gallery chunks, so the whole metric is two scans over [Qc, C] score
+tiles — no [Q, G] tensor, no global sort, O(Q*H) state (H = max positives
+per query):
+
+1. *extract* pass: each positive's distance is pulled out of the very
+   score tile it lives in (``where(j == pos_idx, s, 0)`` summed over
+   chunks) — bit-identical to the value the counting pass compares
+   against, so self-comparison ties are impossible by construction;
+2. *count* pass: ``rank[q,h] = #{kept j : (d_qj, j) < (d_pos, pos_idx)}``
+   accumulated chunk by chunk (lexicographic on (distance, index) — the
+   order a stable argsort yields).
+
+From ranks, the Market1501-protocol metrics are closed-form
+(eval_reid.py:25-92 parity, oracle-tested in tests/test_streaming_eval.py):
+
+* ``first_rank[q] = min_h rank[q,h]`` -> CMC curve and top-k flags;
+* precision at hit h = (hrank_h + 1) / (rank_h + 1) where hrank is the
+  hit's rank among the query's hits -> AP as their mean over num_rel.
+
+``mesh=`` shards the gallery rows over the mesh's gallery axis
+(parallel/mesh.py): each device counts against its shard and the partial
+counts/extractions ``psum`` — the multi-chip evaluation path the
+reference's host chunking stands in for (SURVEY §5 "gallery size ...
+shard the Q x G distance computation over devices").
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses.distances import get_dist_func
+from .eval_reid import K_LIST, ReidMetrics
+
+_G_CHUNK = 8192    # gallery rows per scanned score tile
+_Q_CHUNK = 128     # query rows per dispatched program
+
+
+def _positives_table(q_pids, g_pids, q_camids, g_camids,
+                     respect_camids: bool) -> np.ndarray:
+    """[Q, H] gallery indices of each query's HITS (same pid, kept under
+    the camid-removal rule, eval_reid.py:49-58), -1 padded.
+
+    In ``respect_camids`` mode ``g_camids`` are bitmask ints and removal is
+    set membership (eval_reid.py:52-55)."""
+    by_pid = defaultdict(list)
+    for j, p in enumerate(np.asarray(g_pids)):
+        by_pid[int(p)].append(j)
+    g_camids = np.asarray(g_camids)
+    lists = []
+    for qi in range(len(q_pids)):
+        cand = by_pid.get(int(q_pids[qi]), [])
+        qc = int(q_camids[qi])
+        if respect_camids:
+            hits = [j for j in cand if not ((int(g_camids[j]) >> qc) & 1)]
+        else:
+            hits = [j for j in cand if int(g_camids[j]) != qc]
+        lists.append(hits)
+    h = max([len(x) for x in lists] + [1])
+    pos = np.full((len(q_pids), h), -1, np.int32)
+    for qi, x in enumerate(lists):
+        pos[qi, : len(x)] = x
+    return pos
+
+
+def _chunk_scores(qf_c, gf_sl, dist: str):
+    return get_dist_func(dist, eval_mode=True)(qf_c, gf_sl)
+
+
+def _tile(qf_c, gf, j0, c, g_chunk: int, dist: str):
+    gf_sl = jax.lax.dynamic_slice_in_dim(gf, c * g_chunk, g_chunk, 0)
+    s = _chunk_scores(qf_c, gf_sl, dist)                    # [Qc, C] fp32
+    jg = j0 + c * g_chunk + jnp.arange(g_chunk, dtype=jnp.int32)
+    return s, jg
+
+
+def _extract_scan(qf_c, pos_c, gf, j0, g_chunk: int, dist: str):
+    """Pull each positive's distance out of the score tile it lives in.
+
+    ``j0``: global index of this gallery block's first row (0 on a single
+    device; shard offset under shard_map)."""
+    n_chunks = gf.shape[0] // g_chunk
+
+    def extract(dpos, c):
+        s, jg = _tile(qf_c, gf, j0, c, g_chunk, dist)
+        at_pos = pos_c[:, :, None] == jg[None, None, :]     # [Qc, H, C]
+        return dpos + jnp.sum(
+            jnp.where(at_pos, s[:, None, :], 0.0), axis=2
+        ), None
+
+    h = pos_c.shape[1]
+    dpos, _ = jax.lax.scan(
+        extract, jnp.zeros((qf_c.shape[0], h), jnp.float32),
+        jnp.arange(n_chunks),
+    )
+    return dpos
+
+
+def _count_scan(qf_c, q_pids_c, q_camids_c, pos_c, dpos, gf, g_pids,
+                g_camids, g_valid, j0, g_chunk: int, dist: str,
+                respect_camids: bool):
+    """rank[q,h] = #{kept j in this block: (d_qj, j) < (dpos, pos_idx)}.
+    ``dpos`` must be the GLOBAL extraction (psum'd first when sharded)."""
+    n_chunks = gf.shape[0] // g_chunk
+
+    def count(ranks, c):
+        s, jg = _tile(qf_c, gf, j0, c, g_chunk, dist)
+        g_pids_sl = jax.lax.dynamic_slice_in_dim(g_pids, c * g_chunk,
+                                                 g_chunk, 0)
+        g_cam_sl = jax.lax.dynamic_slice_in_dim(g_camids, c * g_chunk,
+                                                g_chunk, 0)
+        g_val_sl = jax.lax.dynamic_slice_in_dim(g_valid, c * g_chunk,
+                                                g_chunk, 0)
+        match = g_pids_sl[None, :] == q_pids_c[:, None]
+        if respect_camids:
+            same = ((g_cam_sl[None, :] >> q_camids_c[:, None]) & 1) == 1
+        else:
+            same = g_cam_sl[None, :] == q_camids_c[:, None]
+        keep = (~(match & same)) & g_val_sl[None, :]        # [Qc, C]
+        before = (s[:, None, :] < dpos[:, :, None]) | (
+            (s[:, None, :] == dpos[:, :, None])
+            & (jg[None, None, :] < pos_c[:, :, None])
+        )
+        return ranks + jnp.sum(
+            (keep[:, None, :] & before).astype(jnp.int32), axis=2
+        ), None
+
+    ranks, _ = jax.lax.scan(
+        count, jnp.zeros((qf_c.shape[0], pos_c.shape[1]), jnp.int32),
+        jnp.arange(n_chunks),
+    )
+    return ranks
+
+
+@partial(jax.jit,
+         static_argnames=("g_chunk", "dist", "respect_camids"))
+def _stream_ranks(qf_c, q_pids_c, q_camids_c, pos_c, gf, g_pids, g_camids,
+                  g_valid, g_chunk: int, dist: str, respect_camids: bool):
+    j0 = jnp.int32(0)
+    dpos = _extract_scan(qf_c, pos_c, gf, j0, g_chunk, dist)
+    ranks = _count_scan(
+        qf_c, q_pids_c, q_camids_c, pos_c, dpos, gf, g_pids, g_camids,
+        g_valid, j0, g_chunk, dist, respect_camids,
+    )
+    return dpos, ranks
+
+
+def _stream_ranks_sharded(mesh, qf_c, q_pids_c, q_camids_c, pos_c, gf,
+                          g_pids, g_camids, g_valid, g_chunk: int,
+                          dist: str, respect_camids: bool):
+    """Gallery rows sharded over the mesh's gallery axis; counts psum."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import GALLERY_AXIS
+
+    n = mesh.shape[GALLERY_AXIS]
+    shard_rows = gf.shape[0] // n
+
+    def local(qf_l, qp_l, qc_l, pos_l, gf_l, gp_l, gc_l, gv_l):
+        j0 = (jax.lax.axis_index(GALLERY_AXIS) * shard_rows).astype(
+            jnp.int32
+        )
+        # each positive lives in exactly ONE shard, so the global dpos is
+        # the psum of the local extractions — and it must be global BEFORE
+        # counting (a shard's kept entries compare against positives that
+        # live on other shards)
+        dpos = jax.lax.psum(
+            _extract_scan(qf_l, pos_l, gf_l, j0, g_chunk, dist),
+            GALLERY_AXIS,
+        )
+        ranks = _count_scan(
+            qf_l, qp_l, qc_l, pos_l, dpos, gf_l, gp_l, gc_l, gv_l,
+            j0, g_chunk, dist, respect_camids,
+        )
+        return dpos, jax.lax.psum(ranks, GALLERY_AXIS)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(GALLERY_AXIS), P(GALLERY_AXIS),
+                  P(GALLERY_AXIS), P(GALLERY_AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    sh_g = NamedSharding(mesh, P(GALLERY_AXIS))
+    sh_r = NamedSharding(mesh, P())
+    args = [jax.device_put(x, sh_r)
+            for x in (qf_c, q_pids_c, q_camids_c, pos_c)]
+    args += [jax.device_put(x, sh_g) for x in (gf, g_pids, g_camids, g_valid)]
+    return jax.jit(fn)(*args)
+
+
+def eval_func_streaming(
+    qf,
+    gf,
+    q_pids,
+    g_pids,
+    q_camids,
+    g_camids,
+    max_rank: int = 50,
+    respect_camids: bool = False,
+    dist: str = "euclidean",
+    mesh=None,
+    g_chunk: int = _G_CHUNK,
+) -> ReidMetrics:
+    """ReidMetrics from raw features without materialising [Q, G].
+
+    Takes FEATURES (already normalised if TEST.FEAT_NORM), not a distance
+    matrix — the point is that the distance matrix never exists. Results
+    match ``eval_func`` on the argsorted matrix exactly (stable-sort tie
+    order included). ``mesh`` shards gallery rows over the mesh's gallery
+    axis."""
+    qf = np.asarray(qf, np.float32)
+    # the gallery may be a device array (a 1M x 2048 fp32 gallery is 8 GB —
+    # a host round-trip would double-buffer it); keep it wherever it lives
+    gf = jnp.asarray(gf, jnp.float32)
+    q_pids = np.asarray(q_pids)
+    g_pids = np.asarray(g_pids)
+    q_camids = np.asarray(q_camids)
+    g_camids = np.asarray(g_camids)
+    num_q, num_g = qf.shape[0], gf.shape[0]
+    if num_g < max_rank:
+        max_rank = num_g
+        print(f"Note: number of gallery samples is quite small, got {num_g}")
+
+    pos = _positives_table(q_pids, g_pids, q_camids, g_camids,
+                           respect_camids)
+    num_rel = (pos >= 0).sum(axis=1)
+
+    # pad gallery to a whole number of chunks (and shards); padded rows are
+    # never kept
+    shards = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    unit = g_chunk * shards
+    pad_g = (-num_g) % unit
+    gf_p = jnp.concatenate(
+        [gf, jnp.zeros((pad_g, gf.shape[1]), jnp.float32)]
+    ) if pad_g else gf
+    g_pids_p = np.concatenate([g_pids, np.full(pad_g, -1, g_pids.dtype)])
+    g_camids_p = np.concatenate(
+        [g_camids, np.full(pad_g, -1, g_camids.dtype)]
+    )
+    g_valid = np.concatenate(
+        [np.ones(num_g, bool), np.zeros(pad_g, bool)]
+    )
+    dev = [gf_p] + [jnp.asarray(x) for x in
+                    (g_pids_p.astype(np.int32),
+                     g_camids_p.astype(np.int32), g_valid)]
+
+    dpos_all, ranks_all = [], []
+    for s in range(0, num_q, _Q_CHUNK):
+        rows = min(_Q_CHUNK, num_q - s)
+        pad_q = _Q_CHUNK - rows
+        qf_c = np.concatenate(
+            [qf[s:s + rows], np.zeros((pad_q, qf.shape[1]), np.float32)]
+        )
+        qp_c = np.concatenate(
+            [q_pids[s:s + rows].astype(np.int32), np.full(pad_q, -2, np.int32)]
+        )
+        qc_c = np.concatenate(
+            [q_camids[s:s + rows].astype(np.int32), np.zeros(pad_q, np.int32)]
+        )
+        pos_c = np.concatenate(
+            [pos[s:s + rows], np.full((pad_q, pos.shape[1]), -1, np.int32)]
+        )
+        if mesh is None:
+            dpos, ranks = _stream_ranks(
+                jnp.asarray(qf_c), jnp.asarray(qp_c), jnp.asarray(qc_c),
+                jnp.asarray(pos_c), *dev, g_chunk=g_chunk, dist=dist,
+                respect_camids=respect_camids,
+            )
+        else:
+            dpos, ranks = _stream_ranks_sharded(
+                mesh, jnp.asarray(qf_c), jnp.asarray(qp_c),
+                jnp.asarray(qc_c), jnp.asarray(pos_c), *dev,
+                g_chunk=g_chunk, dist=dist, respect_camids=respect_camids,
+            )
+        dpos_all.append(np.asarray(dpos)[:rows])
+        ranks_all.append(np.asarray(ranks)[:rows])
+    dpos = np.concatenate(dpos_all)
+    ranks = np.concatenate(ranks_all)
+
+    # -- closed-form metrics from ranks (host; O(Q*H^2) tiny) -------------
+    hvalid = pos >= 0
+    big = np.int64(np.iinfo(np.int32).max)
+    first_rank = np.where(hvalid, ranks, big).min(axis=1)
+    valid_q = num_rel > 0
+    n_valid = max(int(valid_q.sum()), 1)
+
+    # hrank: this hit's rank among the query's hits, by (distance, index)
+    a_d = dpos[:, :, None]
+    b_d = dpos[:, None, :]
+    a_i = pos[:, :, None]
+    b_i = pos[:, None, :]
+    before = (b_d < a_d) | ((b_d == a_d) & (b_i < a_i))
+    hrank = (before & hvalid[:, None, :]).sum(axis=2)
+
+    prec = np.where(hvalid, (hrank + 1) / np.maximum(ranks + 1, 1), 0.0)
+    ap = prec.sum(axis=1) / np.maximum(num_rel, 1)
+
+    ranks_axis = np.arange(max_rank)
+    cmc = (
+        ((first_rank[:, None] <= ranks_axis[None, :]) & valid_q[:, None])
+        .sum(axis=0) / n_valid
+    )
+    mAP = float(ap[valid_q].sum() / n_valid)
+    topk = np.array(
+        [((first_rank < kk) & valid_q).sum() / n_valid for kk in K_LIST]
+    )
+    q_idx = np.nonzero(valid_q)[0]
+    single = np.stack(
+        [q_idx, q_pids[q_idx], ap[q_idx]], axis=1
+    ) if q_idx.size else np.zeros((0, 3))
+    return ReidMetrics(
+        cmc=cmc.astype(np.float64), mAP=mAP, all_topk=topk,
+        single_performance=single,
+    )

@@ -8,6 +8,8 @@ rows over the mesh's ``gallery`` axis, compute a local top-k per device
 on any chip.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +21,52 @@ from jax.experimental.shard_map import shard_map  # noqa: F401
 
 from ..ops.retrieval import _hier_topk_build
 from .mesh import GALLERY_AXIS
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_topk_program(mesh: Mesh, dist: str, g: int, shard_rows: int,
+                          k_eff: int, pad: int):
+    """Build + jit the per-shard selection program ONCE per
+    (mesh, dist, shapes, k) — round 2 re-traced on every call
+    (jax.jit(fn) inside the function body discarded the compiled callable).
+    Mesh objects hash by devices+axis names, so the cache is stable across
+    calls with the same mesh."""
+
+    def local(qf_l, gf_l):
+        gn = jnp.sum(
+            gf_l.astype(jnp.float32) * gf_l.astype(jnp.float32), axis=1
+        )[None, :]
+        if pad:  # padded rows must never win
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, gn.shape, 1
+            ) + jax.lax.axis_index(GALLERY_AXIS) * shard_rows
+            gn = jnp.where(row_ids < g, gn, jnp.inf)
+        if dist == "cosine":
+            gn = jnp.where(jnp.isinf(gn), gn, 1.0)
+        dots = jax.lax.dot_general(
+            qf_l, gf_l,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if qf_l.dtype == jnp.float32 else None),
+        )
+        # a shard may hold fewer than k rows; the all-gather still yields
+        # >= k_eff candidates because n * shard_rows >= G >= k_eff
+        k_local = min(k_eff, shard_rows)
+        val, idx = _hier_topk_build(gn - 2.0 * dots, k_local)
+        idx = idx + jax.lax.axis_index(GALLERY_AXIS) * shard_rows
+        allv = jax.lax.all_gather(val, GALLERY_AXIS, axis=1, tiled=True)
+        alli = jax.lax.all_gather(idx, GALLERY_AXIS, axis=1, tiled=True)
+        nv, sel = jax.lax.top_k(-allv, k_eff)
+        return -nv, jnp.take_along_axis(alli, sel, axis=1)
+
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(GALLERY_AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    ))
 
 
 def sharded_topk(qf, gf, k: int, mesh: Mesh, dist: str = "euclidean"):
@@ -52,44 +100,10 @@ def sharded_topk(qf, gf, k: int, mesh: Mesh, dist: str = "euclidean"):
     elif dist != "euclidean":
         raise ValueError(f"Unknown distance {dist!r}")
 
-    def local(qf_l, gf_l):
-        gn = jnp.sum(
-            gf_l.astype(jnp.float32) * gf_l.astype(jnp.float32), axis=1
-        )[None, :]
-        if pad:  # padded rows must never win
-            row_ids = jax.lax.broadcasted_iota(
-                jnp.int32, gn.shape, 1
-            ) + jax.lax.axis_index(GALLERY_AXIS) * shard_rows
-            gn = jnp.where(row_ids < g, gn, jnp.inf)
-        if dist == "cosine":
-            gn = jnp.where(jnp.isinf(gn), gn, 1.0)
-        dots = jax.lax.dot_general(
-            qf_l, gf_l,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=(jax.lax.Precision.HIGHEST
-                       if qf_l.dtype == jnp.float32 else None),
-        )
-        # a shard may hold fewer than k rows; the all-gather still yields
-        # >= k_eff candidates because n * shard_rows >= G >= k_eff
-        k_local = min(k_eff, shard_rows)
-        val, idx = _hier_topk_build(gn - 2.0 * dots, k_local)
-        idx = idx + jax.lax.axis_index(GALLERY_AXIS) * shard_rows
-        allv = jax.lax.all_gather(val, GALLERY_AXIS, axis=1, tiled=True)
-        alli = jax.lax.all_gather(idx, GALLERY_AXIS, axis=1, tiled=True)
-        nv, sel = jax.lax.top_k(-allv, k_eff)
-        return -nv, jnp.take_along_axis(alli, sel, axis=1)
-
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(GALLERY_AXIS)),
-        out_specs=(P(), P()),
-        check_rep=False,
-    )
+    fn = _sharded_topk_program(mesh, dist, g, shard_rows, k_eff, pad)
     qf_d = jax.device_put(qf, NamedSharding(mesh, P()))
     gf_d = jax.device_put(gf, NamedSharding(mesh, P(GALLERY_AXIS)))
-    val, idx = jax.jit(fn)(qf_d, gf_d)
+    val, idx = fn(qf_d, gf_d)
 
     if dist == "cosine":
         sim = (1.0 - val) / 2.0

@@ -317,3 +317,43 @@ def test_int8_cache_validation_and_bare_path(ckpt_dir, image_dirs, tmp_path):
     second_mtime = os.path.getmtime(cache + ".npz")
     run("c3", (64, 32))
     assert os.path.getmtime(cache + ".npz") == second_mtime
+
+
+def test_retrieval_service_k100_matches_topk_retrieval(
+    ckpt_dir, image_dirs, tmp_path
+):
+    """The serving program and the CLI kernel must agree at the reference's
+    canonical retrieval depth (k=100, get_similar.py:57) — round 2 routed
+    the service's k>32 queries through a different (chunked XLA) path; both
+    now share ops.retrieval.topk_select."""
+    import jax.numpy as jnp
+
+    from centroids_reid_tpu.inference import RetrievalService
+    from centroids_reid_tpu.inference.api import load_inference_model
+    from centroids_reid_tpu.inference.utils import run_inference
+    from centroids_reid_tpu.ops import topk_retrieval
+
+    _, query = image_dirs
+    cfg = _cfg(tmp_path)
+    cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+    # synthetic 600-entry gallery: big enough that k=100 < G
+    rng = np.random.RandomState(7)
+    emb = rng.randn(600, 512).astype(np.float32)
+    paths = np.array([f"g{i:04d}.jpg" for i in range(600)])
+
+    svc = RetrievalService(
+        cfg, emb, paths, k=100, normalize=True, use_bf16_kernel=False,
+    )
+    qfiles = sorted(os.path.join(query, f) for f in os.listdir(query))
+    d_svc, idx_svc, _ = svc.query_files(qfiles)
+
+    # independent path: embed the queries, normalise both sides, rank with
+    # the CLI kernel
+    model, params, stats = load_inference_model(cfg)
+    qe, _ = run_inference(model, cfg, params, stats, qfiles)
+    qe = qe / np.maximum(np.linalg.norm(qe, axis=1, keepdims=True), 1e-12)
+    ge = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    d_ref, idx_ref = topk_retrieval(qe, ge, 100, use_pallas=False)
+
+    np.testing.assert_array_equal(idx_svc, idx_ref)
+    np.testing.assert_allclose(d_svc, d_ref, rtol=1e-4, atol=1e-4)

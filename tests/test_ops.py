@@ -154,3 +154,30 @@ def test_topk_pallas_packed_merge_interpret():
     assert (np.diff(val, axis=1) >= -1e-6).all()
     kth_exact = np.sort(full, axis=1)[:, k - 1]
     assert (val[:, -1] <= kth_exact + 0.05 * np.abs(kth_exact) + 0.05).all()
+
+
+def test_topk_select_contract_raw_scores():
+    """topk_select (the ONE selection entry shared by the CLI, the serving
+    program and the sharded path) returns raw ``||g||^2 - 2 q.g`` scores
+    whose order and indices match the numpy oracle at the reference's
+    canonical serving depth k=100."""
+    import jax.numpy as jnp
+
+    from centroids_reid_tpu.ops.retrieval import topk_select
+
+    rng = np.random.RandomState(11)
+    q, g, d, k = 16, 3000, 64, 100
+    qf = rng.randn(q, d).astype(np.float32)
+    gf = rng.randn(g, d).astype(np.float32)
+    gn = (gf * gf).sum(1)[None, :]
+    v, i = topk_select(
+        jnp.asarray(qf), jnp.asarray(gf), jnp.asarray(gn), k,
+        use_pallas=False,
+    )
+    rval, ridx = _numpy_topk(qf, gf, k, "euclidean")
+    np.testing.assert_array_equal(np.asarray(i), ridx)
+    # raw scores + ||q||^2 == euclidean eval-flavour distances
+    np.testing.assert_allclose(
+        np.asarray(v) + (qf * qf).sum(1)[:, None], rval,
+        rtol=1e-4, atol=1e-4,
+    )

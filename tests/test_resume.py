@@ -67,3 +67,46 @@ def test_resume_from_periodic_checkpoint(ds_root, tmp_path):
             if "step" in rec
         ]
     assert min(steps) == 2
+
+
+def test_async_checkpointing_ring_and_best(tmp_path):
+    """Async saves: restorable checkpoints, deferred ring pruning and
+    deferred previous-best deletion both settle at wait()/close() with
+    write-new-before-delete ordering preserved."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from centroids_reid_tpu.config import get_default_cfg
+    from centroids_reid_tpu.engine import (
+        CheckpointManager,
+        create_train_state,
+        restore_state,
+    )
+    from centroids_reid_tpu.models import create_model
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "resnet18"
+    cfg.USE_MIXED_PRECISION = False
+    model = create_model(cfg, num_classes=4)
+    state, _ = create_train_state(cfg, model, 4, seed=0)
+
+    mgr = CheckpointManager(str(tmp_path / "logs"), n_saved=1, use_async=True)
+    assert mgr._async
+    for epoch in range(3):
+        mgr.save_periodic(epoch, state, cfg)
+        assert mgr.save_if_best(epoch, state, float(epoch), cfg)
+    mgr.close()
+
+    # ring kept only the newest periodic entry; best kept only epoch=2
+    ring = sorted(os.listdir(mgr.auto_dir))
+    assert [d for d in ring if not d.endswith(".yml")] == ["checkpoint_epoch2"]
+    best = [d for d in os.listdir(mgr.best_dir) if not d.endswith(".yml")]
+    assert best == ["epoch=2"]
+
+    restored = restore_state(mgr.latest_periodic(), state)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )

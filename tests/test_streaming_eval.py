@@ -1,0 +1,127 @@
+"""Streaming (never-materialise-[Q,G]) evaluation vs the argsort oracle.
+
+The materialising path (R1mAP -> jnp.argsort -> eval_func) is itself
+oracle-tested against the reference's per-query python loop
+(tests/test_metrics.py, np_oracle.py), so exact agreement with it — tie
+order included — proves the streaming rank-counting math."""
+
+import jax
+import numpy as np
+import pytest
+
+from centroids_reid_tpu.metrics import (
+    R1mAP,
+    camid_sets_to_bitmask,
+    eval_func,
+    eval_func_streaming,
+)
+from centroids_reid_tpu.metrics.r1_map import compute_distmat
+from centroids_reid_tpu.parallel import make_retrieval_mesh
+
+needs_mesh = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+def _random_reid_set(seed, q=23, g=157, d=16, pids=9, cams=4):
+    rng = np.random.RandomState(seed)
+    qf = rng.randn(q, d).astype(np.float32)
+    gf = rng.randn(g, d).astype(np.float32)
+    q_pids = rng.randint(0, pids, q)
+    g_pids = rng.randint(0, pids, g)
+    q_camids = rng.randint(0, cams, q)
+    g_camids = rng.randint(0, cams, g)
+    # a pid absent from the gallery -> a query with zero positives
+    q_pids[0] = pids + 5
+    return qf, gf, q_pids, g_pids, q_camids, g_camids
+
+
+def _oracle(qf, gf, q_pids, g_pids, q_camids, g_camids, dist,
+            respect_camids=False, max_rank=50):
+    import jax.numpy as jnp
+
+    distmat = compute_distmat(qf, gf, dist)
+    indices = jnp.argsort(jnp.asarray(distmat), axis=1)
+    return eval_func(indices, q_pids, g_pids, q_camids, g_camids,
+                     max_rank, respect_camids)
+
+
+def _assert_same(m1, m2):
+    assert m1.mAP == pytest.approx(m2.mAP, abs=1e-6)
+    np.testing.assert_allclose(m1.cmc, m2.cmc, atol=1e-6)
+    np.testing.assert_allclose(m1.all_topk, m2.all_topk, atol=1e-6)
+    np.testing.assert_array_equal(
+        m1.single_performance[:, 0], m2.single_performance[:, 0]
+    )
+    np.testing.assert_allclose(
+        m1.single_performance[:, 2], m2.single_performance[:, 2], atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("dist", ["euclidean", "cosine"])
+def test_streaming_matches_argsort_eval(dist):
+    data = _random_reid_set(0)
+    m_ref = _oracle(*data, dist)
+    m_str = eval_func_streaming(*data, dist=dist, g_chunk=32)
+    _assert_same(m_str, m_ref)
+
+
+def test_streaming_with_ties():
+    """Duplicate gallery embeddings: rank order of equal distances must
+    match the stable argsort (lexicographic (distance, index) counting)."""
+    qf, gf, q_pids, g_pids, q_camids, g_camids = _random_reid_set(1, g=96)
+    gf[10] = gf[40] = gf[77]          # three identical rows
+    g_pids[10] = g_pids[40] = g_pids[77]
+    m_ref = _oracle(qf, gf, q_pids, g_pids, q_camids, g_camids, "euclidean")
+    m_str = eval_func_streaming(
+        qf, gf, q_pids, g_pids, q_camids, g_camids, g_chunk=32
+    )
+    _assert_same(m_str, m_ref)
+
+
+def test_streaming_respect_camids_bitmasks():
+    """Centroid-style eval: gallery camids are SETS (bitmasks), removal is
+    membership of the query camid (eval_reid.py:52-55)."""
+    rng = np.random.RandomState(2)
+    q, g, d = 17, 61, 8
+    qf = rng.randn(q, d).astype(np.float32)
+    gf = rng.randn(g, d).astype(np.float32)
+    q_pids = rng.randint(0, 6, q)
+    g_pids = rng.randint(0, 6, g)
+    q_camids = rng.randint(0, 4, q)
+    cam_sets = [rng.choice(4, rng.randint(1, 4), replace=False)
+                for _ in range(g)]
+    g_masks = camid_sets_to_bitmask(cam_sets)
+    m_ref = _oracle(qf, gf, q_pids, g_pids, q_camids, g_masks,
+                    "euclidean", respect_camids=True)
+    m_str = eval_func_streaming(
+        qf, gf, q_pids, g_pids, q_camids, g_masks,
+        respect_camids=True, g_chunk=16,
+    )
+    _assert_same(m_str, m_ref)
+
+
+def test_r1map_streaming_switch_equivalence():
+    """R1mAP with streaming forced on == the default materialising path
+    (same feats/pids/camids, num_query split)."""
+    rng = np.random.RandomState(3)
+    n_q, n_g, d = 19, 83, 12
+    feats = rng.randn(n_q + n_g, d).astype(np.float32)
+    pids = rng.randint(0, 7, n_q + n_g)
+    camids = rng.randint(0, 3, n_q + n_g)
+    m_mat = R1mAP(n_q, feat_norm=True).compute(feats, pids, camids)
+    ev = R1mAP(n_q, feat_norm=True, streaming=True)
+    m_str = ev.compute(feats, pids, camids)
+    _assert_same(m_str, m_mat)
+    with pytest.raises(RuntimeError):
+        ev.last_distmat
+
+
+@needs_mesh
+def test_streaming_sharded_matches_single_device():
+    """Gallery rows sharded over the 8-device mesh: identical metrics."""
+    data = _random_reid_set(4, q=11, g=210)
+    mesh = make_retrieval_mesh(8)
+    m_ref = eval_func_streaming(*data, g_chunk=16)
+    m_sh = eval_func_streaming(*data, g_chunk=16, mesh=mesh)
+    _assert_same(m_sh, m_ref)
