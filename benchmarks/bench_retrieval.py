@@ -31,14 +31,16 @@ from centroids_reid_tpu.ops.retrieval import (
 )
 
 
-def bench(fn, qf, gf, k, n1=5, n2=20):
+def bench(fn, qf, gf, k, n1=10, n2=110, reps=3):
     """Per-invocation device time by the DIFFERENCE method: run the kernel
     n1 and n2 times inside one jitted scan and divide the wall-time delta
     by (n2 - n1). This cancels the dev tunnel's ~45 ms fixed dispatch cost
     (which would otherwise dominate and is not a property of the kernel);
     two query buffers are cycled so XLA cannot hoist the loop body.
     Completion is forced with a scalar transfer — block_until_ready returns
-    early through the tunnel."""
+    early through the tunnel. The tunnel's +-10 ms RTT jitter divides by
+    (n2 - n1), so 100 iterations of separation bound the row error at
+    ~0.1 ms; the median of ``reps`` differences rejects stragglers."""
     d = gf.shape[1]
     # f32 accumulation WITHOUT materialising an f32 copy of the gallery
     # (a 1M x 2048 f32 copy is 8 GB of HBM)
@@ -51,7 +53,9 @@ def bench(fn, qf, gf, k, n1=5, n2=20):
     if pad:
         gf = jnp.concatenate([gf, jnp.zeros((pad, d), gf.dtype)])
         gn = jnp.concatenate([gn, jnp.full((1, pad), jnp.inf)], axis=1)
-    qf2 = jnp.stack([qf, qf * jnp.asarray(1.0009765625, qf.dtype)])
+    # 1 + 2^-7: exactly representable in bf16 too (1 + 2^-10 would round
+    # back to 1.0 there, making the two cycled buffers bit-identical)
+    qf2 = jnp.stack([qf, qf * jnp.asarray(1.0078125, qf.dtype)])
 
     def run(n):
         @jax.jit
@@ -67,8 +71,12 @@ def bench(fn, qf, gf, k, n1=5, n2=20):
         float(prog(qf2, gf, gn))
         return time.time() - t0
 
-    ta, tb = run(n1), run(n2)
-    return (tb - ta) / (n2 - n1)
+    diffs = []
+    for _ in range(reps):
+        ta, tb = run(n1), run(n2)
+        diffs.append((tb - ta) / (n2 - n1))
+    diffs.sort()
+    return diffs[len(diffs) // 2]
 
 
 def main():

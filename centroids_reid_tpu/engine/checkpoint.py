@@ -192,9 +192,23 @@ class CheckpointManager:
 
 
 def restore_state(path: str, target_state):
-    """Restore a TrainState saved by CheckpointManager (shape-checked)."""
+    """Restore a TrainState saved by CheckpointManager (shape-checked).
+
+    Array leaves are restored to HOST numpy, explicitly ignoring the
+    sharding metadata orbax recorded at save time: a checkpoint written
+    from an 8-device mesh must load on a single chip (and vice versa) —
+    the Lightning-ckpt property the reference relies on for ONLY_TEST
+    (utils/misc.py:128-139). Callers re-place the tree (fit() replicates
+    over its mesh; the eval path device-puts through jit)."""
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path), item=target_state)
+    restore_args = jax.tree.map(
+        lambda x: ocp.RestoreArgs(restore_type=np.ndarray)
+        if isinstance(x, (np.ndarray, jax.Array)) else ocp.RestoreArgs(),
+        target_state,
+    )
+    restored = ckptr.restore(
+        os.path.abspath(path), item=target_state, restore_args=restore_args
+    )
     return restored
 
 

@@ -4,9 +4,10 @@
 # Runs the TEST.ONLY_TEST double evaluation (centroids on AND off, exactly
 # like /root/reference/utils/misc.py:128-139) from a reference Lightning
 # .ckpt (converted on load by centroids_reid_tpu/models/convert.py) or a
-# native orbax checkpoint dir, and prints mAP / Top-k for both eval modes —
-# compare against the paper tables (arXiv:2104.13643) / the numbers the
-# reference repo's linked weights reproduce (README.md:98-100).
+# native orbax checkpoint dir, then ASSERTS centroid-mode mAP / Rank-1
+# against the published CTL results (arXiv:2104.13643; table hard-coded in
+# scripts/assert_parity.py) and exits non-zero on any miss — reference
+# parity is one command with a pass/fail once data + weights are mounted.
 #
 # Usage:
 #   scripts/verify_reference_parity.sh CKPT DATASET_ROOT \
@@ -30,11 +31,5 @@ CONFIG=${4:-configs/256_resnet50.yml}
 shift $(( $# > 4 ? 4 : $# ))
 
 cd "$(dirname "$0")/.."
-exec python train_ctl_model.py --config_file "$CONFIG" \
-  TEST.ONLY_TEST True \
-  MODEL.PRETRAIN_PATH "$CKPT" \
-  DATASETS.NAMES "$NAME" \
-  DATASETS.ROOT_DIR "$ROOT" \
-  MODEL.USE_CENTROIDS True \
-  REPRODUCIBLE_NUM_RUNS 1 \
-  "$@"
+exec python scripts/assert_parity.py --config_file "$CONFIG" \
+  --ckpt "$CKPT" --root "$ROOT" --dataset "$NAME" "$@"

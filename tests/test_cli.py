@@ -40,3 +40,71 @@ def test_train_cli_rejects_unknown_key():
     )
     assert out.returncode != 0
     assert b"Unknown config key" in out.stderr
+
+
+# --- accuracy-parity gate (scripts/assert_parity.py) -----------------------
+
+def test_parity_check_logic():
+    """Pure comparison logic: within-tol, above-band, shortfall, missing."""
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from assert_parity import check, parse_expect
+
+    exp = {"test_centroids_mAP": (0.983, 0.005),
+           "test_centroids_Top-1": (0.980, 0.005)}
+    assert check({"test_centroids_mAP": 0.981,
+                  "test_centroids_Top-1": 0.998}, exp)   # in-tol + above-band
+    assert not check({"test_centroids_mAP": 0.970,
+                      "test_centroids_Top-1": 0.998}, exp)  # shortfall
+    assert not check({"test_centroids_mAP": 0.983}, exp)    # missing metric
+    assert parse_expect(["test_plain_mAP=0.856:0.01"]) == {
+        "test_plain_mAP": (0.856, 0.01)
+    }
+    assert parse_expect(["a=0.5"]) == {"a": (0.5, 0.005)}
+
+
+def test_parity_gate_dry_run(tmp_path):
+    """End-to-end dry run of the one-command parity gate on the synthetic
+    fixture: train 2 tiny epochs to get a checkpoint, then assert_parity
+    must evaluate it and PASS with expectations the separable data meets
+    (the hard-coded paper table is for the real datasets)."""
+    import glob
+
+    from test_integration import _make_separable_market
+    from centroids_reid_tpu.config import get_default_cfg
+    from centroids_reid_tpu.engine import fit
+
+    root = _make_separable_market(tmp_path)
+    cfg = get_default_cfg()
+    cfg.DATASETS.ROOT_DIR = root
+    cfg.MODEL.NAME = "resnet18"
+    cfg.MODEL.PRETRAINED = False
+    cfg.USE_MIXED_PRECISION = False
+    cfg.INPUT.SIZE_TRAIN = [32, 16]
+    cfg.INPUT.SIZE_TEST = [32, 16]
+    cfg.SOLVER.IMS_PER_BATCH = 4
+    cfg.SOLVER.MAX_EPOCHS = 2
+    cfg.SOLVER.EVAL_PERIOD = 2
+    cfg.SOLVER.USE_WARMUP_LR = False
+    cfg.DATALOADER.USE_RESAMPLING = False
+    cfg.TPU.NUM_GROUPS = 1
+    run1 = str(tmp_path / "run1")
+    fit(cfg, "ctl", run1)
+    ckpt = [a for a in glob.glob(os.path.join(
+        run1, "auto_checkpoints", "checkpoint_epoch*")) if os.path.isdir(a)]
+    assert ckpt
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "assert_parity.py"),
+         "--config_file", "", "--ckpt", ckpt[0], "--root", root,
+         "--dataset", "market1501",
+         "--expect", "test_centroids_mAP=0.90:0.10",
+         "--expect", "test_centroids_Top-1=0.90:0.10",
+         "MODEL.NAME", "resnet18", "MODEL.PRETRAINED", "False",
+         "INPUT.SIZE_TEST", "[32,16]", "USE_MIXED_PRECISION", "False",
+         "OUTPUT_DIR", str(tmp_path / "logs")],
+        capture_output=True, timeout=600, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, (out.stdout.decode()[-2000:],
+                                 out.stderr.decode()[-2000:])
+    assert b"PARITY OK" in out.stdout
