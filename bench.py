@@ -106,11 +106,17 @@ def _train_imgs_per_sec(mixed_precision: bool) -> float:
     return pk * steps / (time.time() - t0)
 
 
-def _e2e_embed_imgs_per_sec() -> float:
+def _e2e_embed_imgs_per_sec(fast: bool = False) -> float:
     """End-to-end offline embedding over JPEG files on disk — the real
     ``create_embeddings`` surface (``run_inference``): threaded host decode
     pipelined against async device dispatch, uint8 H2D, on-device
-    normalize + ResNet-50 embed, embeddings fetched back to host."""
+    normalize + ResNet-50 embed, embeddings fetched back to host.
+
+    ``fast`` = the serving ingest configuration (TPU.FAST_DECODE:
+    DCT-scaled decode + planar-YUV420 wire format, half the host->device
+    bytes, unpack fused into the embed program). The e2e row reports the
+    serving configuration; the bit-exact path (the eval default) is kept
+    as its own row."""
     import os
     import tempfile
 
@@ -123,6 +129,11 @@ def _e2e_embed_imgs_per_sec() -> float:
 
     cfg = get_default_cfg()
     cfg.TPU.CACHE_IMAGES = False  # honest cold-decode numbers
+    cfg.TPU.FAST_DECODE = fast
+    if fast:
+        # serving config also tunes the batch: fewer dispatch roundtrips
+        # on the high-latency link (the exact row keeps the default 128)
+        cfg.TEST.IMS_PER_BATCH = 256
     model = create_model(cfg, num_classes=0)
     params, batch_stats = init_model(model, jax.random.PRNGKey(0), (256, 128))
 
@@ -181,7 +192,9 @@ def _extra_rows():
     # e2e first: it is tunnel-bandwidth-sensitive and measures ~3x low
     # when the train benches run before it (device/tunnel still busy).
     rows = (
-        ("e2e_decode_embed_imgs_per_sec", _e2e_embed_imgs_per_sec),
+        ("e2e_decode_embed_imgs_per_sec",
+         lambda: _e2e_embed_imgs_per_sec(fast=True)),
+        ("e2e_bitexact_decode_embed_imgs_per_sec", _e2e_embed_imgs_per_sec),
         ("int8_eval_imgs_per_sec", _int8_imgs_per_sec),
         ("train_imgs_per_sec_bf16", lambda: _train_imgs_per_sec(True)),
         ("train_imgs_per_sec_fp32", lambda: _train_imgs_per_sec(False)),

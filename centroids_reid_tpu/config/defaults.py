@@ -148,6 +148,15 @@ def get_default_cfg() -> ConfigNode:
     # 3-channel stem well, so this classic lever is OFF by default and kept
     # as a knob for other TPU generations.
     _C.TPU.SPACE_TO_DEPTH_STEM = False
+    # Serving-path fast ingest for the offline inference CLIs: DCT-scaled
+    # JPEG decode (libjpeg scale_num/8, large sources only pay ~1/k^2 of
+    # the IDCT) + planar YUV420 packing — 1.5 bytes/px on the host->device
+    # wire instead of 3, unpacked (triangle chroma upsample + BT.601)
+    # inside the jitted embed program. NOT bit-exact vs the parity decode
+    # path (scaled IDCT + 4:2:0 chroma are lossy; embedding agreement is
+    # asserted in tests/test_fast_ingest.py), so this is OFF by default
+    # and never applies to training/eval loaders.
+    _C.TPU.FAST_DECODE = False
     # int8 post-training-quantized serving for the offline inference CLIs
     # (models/quantized.py): BN+input folding, per-channel int8 weights,
     # self-calibrated per-tensor activation scales. Measured 1.66x embedding

@@ -17,25 +17,44 @@ import numpy as np
 
 from .datasets import Record, ReidDataset
 from .sampler import EpochPlan, build_epoch_plan
-from .transforms import load_and_resize
+from .transforms import load_and_pack_yuv420, load_and_resize
 
 
 class ImageStore:
-    """Decoded-and-resized uint8 image provider with optional RAM cache."""
+    """Decoded-and-resized uint8 image provider with optional RAM cache.
 
-    def __init__(self, size_hw: Tuple[int, int], cache: bool = True):
+    ``fmt="rgb"`` (default, bit-exact parity path) yields [H, W, 3];
+    ``fmt="yuv420"`` yields packed planar YUV420 [1.5*H*W] for the
+    serving fast-ingest path (TPU.FAST_DECODE) — half the bytes shipped
+    host->device, unpacked inside the embed program
+    (transforms.py::yuv420_to_rgb)."""
+
+    def __init__(self, size_hw: Tuple[int, int], cache: bool = True,
+                 fmt: str = "rgb"):
+        if fmt not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown ImageStore fmt {fmt!r}")
         self.size_hw = tuple(size_hw)
         self.cache_enabled = cache
+        self.fmt = fmt
+        self._load = (
+            load_and_resize if fmt == "rgb" else load_and_pack_yuv420
+        )
         self._cache: Dict[str, np.ndarray] = {}
+
+    def item_shape(self) -> Tuple[int, ...]:
+        h, w = self.size_hw
+        if self.fmt == "rgb":
+            return (h, w, 3)
+        return (h * w + 2 * ((h // 2) * (w // 2)),)
 
     def get(self, path: str) -> np.ndarray:
         if self.cache_enabled:
             img = self._cache.get(path)
             if img is None:
-                img = load_and_resize(path, self.size_hw)
+                img = self._load(path, self.size_hw)
                 self._cache[path] = img
             return img
-        return load_and_resize(path, self.size_hw)
+        return self._load(path, self.size_hw)
 
 
 class TrainLoader:
@@ -155,10 +174,9 @@ class EvalLoader:
         return -(-len(self.records) // self.batch_size)
 
     def _assemble(self, start: int) -> dict:
-        h, w = self.store.size_hw
         b = self.batch_size
         chunk = self.records[start:start + b]
-        images = np.zeros((b, h, w, 3), np.uint8)
+        images = np.zeros((b, *self.store.item_shape()), np.uint8)
         pids = np.zeros((b,), np.int64)
         camids = np.zeros((b,), np.int64)
         valid = np.zeros((b,), bool)

@@ -55,6 +55,27 @@ def load_and_resize(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
     return np.asarray(img, np.uint8)
 
 
+def load_and_pack_yuv420(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
+    """Host serving-path ingest: decode (DCT-scaled for large sources),
+    resize, pack planar YUV420. Returns uint8 [1.5*H*W]. Falls back to
+    exact PIL decode + numpy pack for anything the native decoder
+    declines; the pack itself is lossy either way (4:2:0 chroma), which
+    is why this path is gated behind TPU.FAST_DECODE."""
+    from ..native import decode_fast, rgb_to_yuv420_np
+
+    with open(path, "rb") as f:
+        data = f.read()
+    out = decode_fast(data, size_hw)
+    if out is not None:
+        return out
+    import io
+
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    h, w = size_hw
+    img = img.resize((w, h), Image.BILINEAR)
+    return rgb_to_yuv420_np(np.asarray(img, np.uint8))
+
+
 def _normalize(x_f32, mean, std):
     return (x_f32 / 255.0 - mean) / std
 
@@ -149,6 +170,55 @@ def normalize_batch(imgs_u8, mean, std, dtype=jnp.float32):
     """Eval path: uint8 -> normalised float (Resize happened on host)."""
     x = _normalize(
         imgs_u8.astype(jnp.float32),
+        jnp.asarray(mean, jnp.float32),
+        jnp.asarray(std, jnp.float32),
+    )
+    return x.astype(dtype)
+
+
+# ---------------------------------------------------------------------
+# Serving fast-ingest unpack (TPU.FAST_DECODE): invert the native
+# planar-YUV420 wire format (native/decode.cpp::rgb_to_yuv420) on device.
+# Pure VPU elementwise/reshape work that XLA fuses into the embed
+# program's first conv prologue — the win is 2x fewer bytes over the
+# host->device link, the dominant cost of the offline-embedding surface.
+# ---------------------------------------------------------------------
+
+def _chroma_up2(c, axis):
+    """Triangle 2x upsample along ``axis`` (libjpeg 'fancy upsampling'
+    weights 3/4, 1/4 with edge replication): half-res chroma -> full."""
+    c = jnp.moveaxis(c, axis, -1)
+    cl = jnp.concatenate([c[..., :1], c[..., :-1]], axis=-1)
+    cr = jnp.concatenate([c[..., 1:], c[..., -1:]], axis=-1)
+    pair = jnp.stack([0.75 * c + 0.25 * cl, 0.75 * c + 0.25 * cr], axis=-1)
+    out = pair.reshape(*c.shape[:-1], c.shape[-1] * 2)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def yuv420_to_rgb(packed_u8, size_hw):
+    """Packed YUV420 uint8 [..., 1.5*H*W] -> RGB float32 [..., H, W, 3]
+    in [0, 255]. Full-range BT.601 inverse (the JPEG convention), matching
+    the forward constants in native/decode.cpp::rgb_to_yuv420."""
+    h, w = size_hw
+    hw, c2 = h * w, (h // 2) * (w // 2)
+    lead = packed_u8.shape[:-1]
+    y = packed_u8[..., :hw].reshape(*lead, h, w).astype(jnp.float32)
+    u = packed_u8[..., hw:hw + c2].reshape(*lead, h // 2, w // 2)
+    v = packed_u8[..., hw + c2:].reshape(*lead, h // 2, w // 2)
+    u = _chroma_up2(_chroma_up2(u.astype(jnp.float32), -1), -2) - 128.0
+    v = _chroma_up2(_chroma_up2(v.astype(jnp.float32), -1), -2) - 128.0
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+@partial(jax.jit, static_argnames=("size_hw", "dtype"))
+def normalize_yuv420_batch(packed_u8, size_hw, mean, std,
+                           dtype=jnp.float32):
+    """Fast-ingest eval path: packed YUV420 -> normalised float images."""
+    x = _normalize(
+        yuv420_to_rgb(packed_u8, size_hw),
         jnp.asarray(mean, jnp.float32),
         jnp.asarray(std, jnp.float32),
     )

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import EvalLoader, normalize_batch
+from ..data.transforms import normalize_yuv420_batch
 from ..data.loader import ImageStore
 from ..metrics import K_LIST, R1mAP, build_centroid_eval_set
 from ..metrics.eval_reid import ReidMetrics
@@ -49,22 +50,42 @@ def _cache_key(kind, model, cfg):
     )
 
 
-def make_embed_fn(model, cfg):
-    key = _cache_key("embed", model, cfg)
+def make_embed_fn(model, cfg, input_format: str = "rgb"):
+    """``input_format="rgb"``: uint8 [B,H,W,3] (bit-exact parity path).
+    ``"yuv420"``: packed planar uint8 [B, 1.5*H*W] from the serving
+    fast-ingest path (TPU.FAST_DECODE) — the unpack + colour conversion
+    runs inside this jitted program so the wire carries half the bytes.
+    The yuv closure bakes in SIZE_TEST (the packed layout is
+    size-dependent), so the size joins the memo key."""
+    key = _cache_key("embed", model, cfg) + (
+        input_format, tuple(cfg.INPUT.SIZE_TEST),
+    )
     if key in _FN_CACHE:
         return _FN_CACHE[key]
     mean = tuple(cfg.INPUT.PIXEL_MEAN)
     std = tuple(cfg.INPUT.PIXEL_STD)
+    size_hw = tuple(cfg.INPUT.SIZE_TEST)
     dtype = jnp.bfloat16 if cfg.USE_MIXED_PRECISION else jnp.float32
 
     @jax.jit
     def embed(params_model, batch_stats, imgs_u8):
-        x = normalize_batch(imgs_u8, mean, std, dtype=dtype)
-        return model.apply(
+        if input_format == "yuv420":
+            x = normalize_yuv420_batch(
+                imgs_u8, size_hw, mean, std, dtype=dtype
+            )
+        else:
+            x = normalize_batch(imgs_u8, mean, std, dtype=dtype)
+        e = model.apply(
             {"params": params_model, "batch_stats": batch_stats},
             x,
             method=model.embed,
         )
+        if input_format == "yuv420":
+            # serving fast path: fetch bf16 (half the device->host bytes
+            # on the link that bounds the e2e pipeline); the caller
+            # widens back to fp32 on host. The parity path stays fp32.
+            e = e.astype(jnp.bfloat16)
+        return e
 
     _FN_CACHE[key] = embed
     return embed

@@ -63,10 +63,15 @@ def _shared_store(cfg):
     """One decoded-image store per CLI run, shared between the int8
     calibration pass and the main embedding loop (when CACHE_IMAGES is
     off, the leading calibration images decode twice — honouring the
-    memory preference)."""
+    memory preference). Format follows the serving ingest decision
+    (TPU.FAST_DECODE -> packed YUV420; int8 keeps RGB)."""
     from ..data.loader import ImageStore
+    from .utils import serving_ingest_format
 
-    return ImageStore(tuple(cfg.INPUT.SIZE_TEST), cfg.TPU.CACHE_IMAGES)
+    return ImageStore(
+        tuple(cfg.INPUT.SIZE_TEST), cfg.TPU.CACHE_IMAGES,
+        fmt=serving_ingest_format(cfg),
+    )
 
 
 def maybe_int8_embed_fn(cfg, model, params, batch_stats, paths, store=None):

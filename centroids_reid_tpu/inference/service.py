@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.transforms import load_and_resize, normalize_batch
+from ..data.transforms import (
+    load_and_resize,
+    normalize_batch,
+    normalize_yuv420_batch,
+)
 from ..ops.retrieval import _G_TILE, topk_select
 from .api import load_inference_model
 
@@ -91,12 +95,23 @@ class RetrievalService:
         if qfn is not None:
             self.params, self.batch_stats = qfn.qtree, None
 
+        size_hw = tuple(cfg.INPUT.SIZE_TEST)
+
         @jax.jit
         def run(params, batch_stats, gf, gf32, gn, imgs_u8):
             if qfn is not None:
                 e = qfn.apply(params, imgs_u8)
             else:
-                x = normalize_batch(imgs_u8, mean, std, dtype=emb_dtype)
+                # 2-D input = packed planar YUV420 from the fast serving
+                # ingest (TPU.FAST_DECODE; see data/transforms.py) — the
+                # unpack fuses into this same single-dispatch program.
+                # Rank is static under jit, so both formats share one fn.
+                if imgs_u8.ndim == 2:
+                    x = normalize_yuv420_batch(
+                        imgs_u8, size_hw, mean, std, dtype=emb_dtype
+                    )
+                else:
+                    x = normalize_batch(imgs_u8, mean, std, dtype=emb_dtype)
                 e = model.apply(
                     {"params": params, "batch_stats": batch_stats},
                     x, method=model.embed,
@@ -147,5 +162,14 @@ class RetrievalService:
 
     def query_files(self, image_paths: Sequence[str]):
         size = tuple(self.cfg.INPUT.SIZE_TEST)
-        imgs = np.stack([load_and_resize(p, size) for p in image_paths])
+        from .utils import serving_ingest_format
+
+        if self._qfn is None and serving_ingest_format(self.cfg) == "yuv420":
+            from ..data.transforms import load_and_pack_yuv420
+
+            imgs = np.stack(
+                [load_and_pack_yuv420(p, size) for p in image_paths]
+            )
+        else:
+            imgs = np.stack([load_and_resize(p, size) for p in image_paths])
         return self.query_arrays(imgs)

@@ -16,9 +16,33 @@ from typing import Callable, Dict, List, Tuple
 
 import numpy as np
 
-from ..data.loader import EvalLoader
+from ..data.loader import EvalLoader, ImageStore
 from ..data.datasets import Record
 from ..engine.evaluate import make_embed_fn
+
+
+def serving_ingest_format(cfg) -> str:
+    """'yuv420' when the fast serving ingest (TPU.FAST_DECODE) is enabled
+    and usable, else 'rgb'. The fast path ships planar YUV420 (half the
+    host->device bytes; DCT-scaled decode for large sources) and unpacks
+    on device — a documented serving-only divergence from the bit-exact
+    eval path (see native/decode.cpp::crt_decode_fast). int8 serving
+    keeps 'rgb': its quantized prologue consumes uint8 RGB directly."""
+    if not cfg.TPU.FAST_DECODE:
+        return "rgb"
+    if cfg.TPU.INT8_EVAL:
+        log.info("TPU.FAST_DECODE skipped: int8 serving consumes RGB")
+        return "rgb"
+    from ..native import fast_available
+
+    size = tuple(cfg.INPUT.SIZE_TEST)
+    if not fast_available(size):
+        log.warning(
+            f"TPU.FAST_DECODE unavailable for SIZE_TEST={size} "
+            "(odd dims or native decoder missing); using the exact path"
+        )
+        return "rgb"
+    return "yuv420"
 
 log = logging.getLogger(__name__)
 
@@ -88,10 +112,22 @@ def run_inference(
 
     ``embed_fn(params, batch_stats, imgs_u8)`` overrides the default
     bf16/fp32 embed program (used by the int8 serving path); ``store``
-    shares a decoded-image cache with e.g. the calibration pass."""
+    shares a decoded-image cache with e.g. the calibration pass. With
+    ``TPU.FAST_DECODE`` (and no ``embed_fn`` override) batches travel as
+    packed YUV420 and the unpack runs inside the embed program."""
+    if store is None:
+        fmt = serving_ingest_format(cfg) if embed_fn is None else "rgb"
+        store = ImageStore(
+            tuple(cfg.INPUT.SIZE_TEST), cfg.TPU.CACHE_IMAGES, fmt=fmt
+        )
+    elif store.fmt == "yuv420" and embed_fn is not None:
+        raise ValueError(
+            "run_inference: a yuv420 store cannot feed a custom embed_fn "
+            "(custom fns consume uint8 RGB batches)"
+        )
     records = [Record(p, 0, 0, i) for i, p in enumerate(image_paths)]
     loader = EvalLoader(records, cfg, store=store)
-    embed = embed_fn or make_embed_fn(model, cfg)
+    embed = embed_fn or make_embed_fn(model, cfg, input_format=store.fmt)
     embs = []
     # Keep up to two batches in flight: JAX dispatch is async, so deferring
     # the host fetch (np.asarray) overlaps D2H of batch i with H2D+compute
@@ -101,7 +137,9 @@ def run_inference(
 
     def drain_one():
         e, valid = pending.pop(0)
-        embs.append(np.asarray(e)[valid])
+        # astype: the fast serving path returns bf16 (halved D2H bytes);
+        # the public contract stays fp32 [N, D]
+        embs.append(np.asarray(e)[valid].astype(np.float32, copy=False))
 
     for pos, batch in enumerate(loader):
         if pos % print_freq == 0:

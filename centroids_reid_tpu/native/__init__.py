@@ -91,7 +91,20 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_ubyte),
                 ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ]
-            assert lib.crt_abi_version() == 1
+            lib.crt_decode_fast.restype = ctypes.c_int
+            lib.crt_decode_fast.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte),
+            ]
+            lib.crt_decode_fast_batch.restype = None
+            lib.crt_decode_fast_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_size_t),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ]
+            assert lib.crt_abi_version() == 2
             _self_check(lib)
             _lib = lib
         except Exception as e:  # noqa: BLE001 — any failure means "use PIL"
@@ -183,6 +196,99 @@ def decode_resize_batch(
     if n_threads <= 0:
         n_threads = min(32, os.cpu_count() or 1)
     lib.crt_decode_resize_batch(
+        datas, lens, n, h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), rcs, n_threads,
+    )
+    failed = [i for i in range(n) if rcs[i] != 0]
+    return out, failed
+
+
+# ---------------------------------------------------------------------
+# Serving-path fast ingest (TPU.FAST_DECODE): DCT-scaled decode + resize
+# + planar-YUV420 pack — 1.5 bytes/px on the wire instead of 3. The
+# device inverts the packing inside the embed program
+# (data/transforms.py::yuv420_to_rgb). NOT bit-exact vs the parity path
+# (scaled IDCT + 4:2:0 chroma are lossy); eval keeps decode_resize.
+# ---------------------------------------------------------------------
+
+def yuv420_packed_len(size_hw: Tuple[int, int]) -> int:
+    h, w = size_hw
+    return h * w + 2 * ((h // 2) * (w // 2))
+
+
+def fast_available(size_hw: Tuple[int, int]) -> bool:
+    h, w = size_hw
+    return h % 2 == 0 and w % 2 == 0 and _load() is not None
+
+
+def rgb_to_yuv420_np(img: np.ndarray) -> np.ndarray:
+    """Numpy mirror of decode.cpp::rgb_to_yuv420 (bit-exact, same
+    fixed-point constants). Host fallback for images the native decoder
+    declines, and the oracle for tests/test_fast_ingest.py."""
+    h, w, _ = img.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"YUV420 needs even dims, got {(h, w)}")
+    p = img.astype(np.int32)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    # 2x2 block mean (round-half-up) per channel, then convert
+    blk = p.reshape(h // 2, 2, w // 2, 2, 3).transpose(0, 2, 1, 3, 4)
+    m = (blk.reshape(h // 2, w // 2, 4, 3).sum(axis=2) + 2) >> 2
+    mr, mg, mb = m[..., 0], m[..., 1], m[..., 2]
+    u = 128 + ((-11059 * mr - 21709 * mg + 32768 * mb + 32768) >> 16)
+    v = 128 + ((32768 * mr - 27440 * mg - 5328 * mb + 32768) >> 16)
+    out = np.concatenate([
+        np.clip(y, 0, 255).ravel(),
+        np.clip(u, 0, 255).ravel(),
+        np.clip(v, 0, 255).ravel(),
+    ]).astype(np.uint8)
+    return out
+
+
+def decode_fast(data: bytes, size_hw: Tuple[int, int]) -> Optional[np.ndarray]:
+    """JPEG bytes -> packed YUV420 uint8 [1.5*H*W], or None (caller falls
+    back to PIL decode + rgb_to_yuv420_np)."""
+    lib = _load()
+    h, w = size_hw
+    if lib is None or h % 2 or w % 2:
+        return None
+    out = np.empty((yuv420_packed_len(size_hw),), np.uint8)
+    rc = lib.crt_decode_fast(
+        data, len(data), h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return out if rc == 0 else None
+
+
+def decode_fast_batch(
+    blobs: Sequence[bytes], size_hw: Tuple[int, int],
+    out: Optional[np.ndarray] = None, n_threads: int = 0,
+) -> Optional[Tuple[np.ndarray, List[int]]]:
+    """Batch fast ingest; returns (out [N, 1.5*H*W], failed_indices) or
+    None when unavailable. Failed images fall back to the PIL path."""
+    lib = _load()
+    h, w = size_hw
+    if lib is None or h % 2 or w % 2:
+        return None
+    n = len(blobs)
+    plen = yuv420_packed_len(size_hw)
+    if out is None:
+        out = np.empty((n, plen), np.uint8)
+    if (
+        out.shape != (n, plen)
+        or out.dtype != np.uint8
+        or not out.flags.c_contiguous
+    ):
+        raise ValueError(
+            f"out must be C-contiguous uint8 [{n},{plen}]; got "
+            f"{out.shape} {out.dtype} contiguous={out.flags.c_contiguous}"
+        )
+    datas = (ctypes.c_char_p * n)(*blobs)
+    lens = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
+    rcs = (ctypes.c_int * n)()
+    if n_threads <= 0:
+        n_threads = min(32, os.cpu_count() or 1)
+    lib.crt_decode_fast_batch(
         datas, lens, n, h, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), rcs, n_threads,
     )

@@ -186,8 +186,18 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 void jpeg_output_silence(j_common_ptr) {}
 
 // Decode JPEG bytes to packed RGB uint8. Returns 0 on success.
+//
+// When min_h/min_w > 0, requests libjpeg DCT scaling (scale_num/8) at the
+// smallest factor whose output still covers (min_h, min_w) — decoding a
+// 1024x512 source for a 256x128 target runs the IDCT at 2/8 scale, ~an
+// order of magnitude less IDCT + colour-convert work. The scaled image is
+// NOT byte-identical to full-decode-then-resize, so callers on the
+// bit-exact parity path must pass 0 (serving-only divergence; see
+// /root/reference/datasets/bases.py:29-33 for the decode path this
+// deliberately diverges from).
 int decode_rgb(const unsigned char* data, size_t len,
-               std::vector<uint8_t>& pixels, int* h, int* w) {
+               std::vector<uint8_t>& pixels, int* h, int* w,
+               int min_h = 0, int min_w = 0) {
     jpeg_decompress_struct cinfo;
     JpegError jerr;
     cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -212,6 +222,22 @@ int decode_rgb(const unsigned char* data, size_t len,
         return 3;
     }
     cinfo.out_color_space = JCS_RGB;
+    if (min_h > 0 && min_w > 0) {
+        // Smallest scale_num/8 whose output covers the target in both
+        // dims; jpeg_calc_output_dimensions gives libjpeg's exact
+        // ceil(dim * num / 8) so the choice matches what start_decompress
+        // will produce.
+        for (unsigned int num = 1; num <= 8; num++) {
+            cinfo.scale_num = num;
+            cinfo.scale_denom = 8;
+            jpeg_calc_output_dimensions(&cinfo);
+            if (static_cast<int>(cinfo.output_height) >= min_h &&
+                static_cast<int>(cinfo.output_width) >= min_w)
+                break;
+        }
+        // If even 8/8 is smaller than the target we upscale from the
+        // full-size decode, same as the exact path.
+    }
     jpeg_start_decompress(&cinfo);
     *h = static_cast<int>(cinfo.output_height);
     *w = static_cast<int>(cinfo.output_width);
@@ -244,6 +270,55 @@ int decode_rgb(const unsigned char* data, size_t len,
     const long warnings = cinfo.err->num_warnings;
     jpeg_destroy_decompress(&cinfo);
     return warnings > 0 ? 5 : 0;
+}
+
+// ---------------------------------------------------------------------
+// RGB -> planar YUV420 (full-range BT.601, the JPEG convention).
+//
+// Serving-path wire format: Y at full resolution, Cb/Cr averaged over
+// 2x2 blocks — 1.5 bytes/px instead of 3, halving host->device transfer
+// (the e2e bottleneck through thin links). The device inverts this
+// (triangle chroma upsample + YCbCr->RGB) inside the embed program —
+// see centroids_reid_tpu/data/transforms.py::yuv420_to_rgb. Fixed-point
+// constants are mirrored bit-exactly by the numpy oracle
+// rgb_to_yuv420_np (tests/test_fast_ingest.py).
+// ---------------------------------------------------------------------
+inline uint8_t clamp_u8(int v) {
+    return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+void rgb_to_yuv420(const uint8_t* rgb, int h, int w, uint8_t* out) {
+    // h, w must be even (checked by the caller).
+    uint8_t* yp = out;
+    uint8_t* up = out + static_cast<size_t>(h) * w;
+    uint8_t* vp = up + static_cast<size_t>(h / 2) * (w / 2);
+    for (int y = 0; y < h; y++) {
+        const uint8_t* row = rgb + static_cast<size_t>(y) * w * 3;
+        uint8_t* yrow = yp + static_cast<size_t>(y) * w;
+        for (int x = 0; x < w; x++) {
+            const int r = row[x * 3], g = row[x * 3 + 1], b = row[x * 3 + 2];
+            yrow[x] = clamp_u8((19595 * r + 38470 * g + 7471 * b + 32768) >> 16);
+        }
+    }
+    const int cw = w / 2;
+    for (int cy = 0; cy < h / 2; cy++) {
+        const uint8_t* r0 = rgb + static_cast<size_t>(2 * cy) * w * 3;
+        const uint8_t* r1 = r0 + static_cast<size_t>(w) * 3;
+        for (int cx = 0; cx < cw; cx++) {
+            const int o = cx * 6;
+            // 2x2 block mean per channel (round-half-up), then convert
+            const int r = (r0[o] + r0[o + 3] + r1[o] + r1[o + 3] + 2) >> 2;
+            const int g =
+                (r0[o + 1] + r0[o + 4] + r1[o + 1] + r1[o + 4] + 2) >> 2;
+            const int b =
+                (r0[o + 2] + r0[o + 5] + r1[o + 2] + r1[o + 5] + 2) >> 2;
+            // floor-shift on a sum biased by +32768 == round-half-up
+            up[static_cast<size_t>(cy) * cw + cx] =
+                clamp_u8(128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16));
+            vp[static_cast<size_t>(cy) * cw + cx] =
+                clamp_u8(128 + ((32768 * r - 27440 * g - 5328 * b + 32768) >> 16));
+        }
+    }
 }
 
 }  // namespace
@@ -301,6 +376,63 @@ void crt_decode_resize_batch(const unsigned char** datas, const size_t* lens,
     for (auto& th : threads) th.join();
 }
 
-int crt_abi_version() { return 1; }
+// Serving-path fast ingest: DCT-scaled decode -> Pillow-bilinear resize
+// to (out_h, out_w) -> planar YUV420 pack into out
+// [out_h*out_w + 2*(out_h/2)*(out_w/2)] bytes. 0 = success. Requires even
+// target dims (rc 8 otherwise). NOT bit-exact vs the parity path: both
+// the scaled IDCT and the 4:2:0 chroma subsample are lossy — serving-only
+// (gated behind TPU.FAST_DECODE on the Python side).
+int crt_decode_fast(const unsigned char* data, size_t len, int out_h,
+                    int out_w, unsigned char* out) {
+    try {
+        if (out_h <= 0 || out_w <= 0 || (out_h % 2) || (out_w % 2)) return 8;
+        std::vector<uint8_t> pixels;
+        int h = 0, w = 0;
+        int rc = decode_rgb(data, len, pixels, &h, &w, out_h, out_w);
+        if (rc != 0) return rc;
+        std::vector<uint8_t> resized;
+        const uint8_t* rgb = pixels.data();
+        if (h != out_h || w != out_w) {
+            resized.resize(static_cast<size_t>(out_h) * out_w * 3);
+            resize_pillow_bilinear(pixels.data(), h, w, 3, resized.data(),
+                                   out_h, out_w);
+            rgb = resized.data();
+        }
+        rgb_to_yuv420(rgb, out_h, out_w, out);
+        return 0;
+    } catch (...) {
+        return 7;
+    }
+}
+
+// Batch variant; same threading discipline as crt_decode_resize_batch.
+void crt_decode_fast_batch(const unsigned char** datas, const size_t* lens,
+                           int n, int out_h, int out_w, unsigned char* out,
+                           int* rcs, int n_threads) {
+    const size_t stride = static_cast<size_t>(out_h) * out_w +
+                          2 * (static_cast<size_t>(out_h / 2) * (out_w / 2));
+    auto work = [&](int start, int step) {
+        for (int i = start; i < n; i += step)
+            rcs[i] = crt_decode_fast(datas[i], lens[i], out_h, out_w,
+                                     out + stride * i);
+    };
+    if (n_threads <= 1 || n <= 1) {
+        work(0, 1);
+        return;
+    }
+    if (n_threads > n) n_threads = n;
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    int spawned = 0;
+    try {
+        for (; spawned < n_threads; spawned++)
+            threads.emplace_back(work, spawned, n_threads);
+    } catch (...) {
+    }
+    for (int t = spawned; t < n_threads; t++) work(t, n_threads);
+    for (auto& th : threads) th.join();
+}
+
+int crt_abi_version() { return 2; }
 
 }  // extern "C"
