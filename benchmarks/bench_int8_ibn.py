@@ -6,20 +6,31 @@ fp32 InstanceNorm halves (resnet_ibn_a.py:116-118 in the reference) are
 the cost — then quantizing around them should close the gap — or layers
 1-3 are bandwidth-bound at this resolution and 1.07x is the ceiling.
 
-Variants (all resnet50_ibn_a, 320x320, scanned single-dispatch timing):
-  A  bf16 embed                      — the serving baseline
-  B  int8 current                    — IN halves fp32 between conv+requant
-  C  int8, IN replaced by identity   — numerically WRONG; isolates the
-                                       entire IN cost (stats + apply +
-                                       concat + the fp32 materialisation)
-  D  int8, IN stats+apply in bf16    — the candidate fix: halves the HBM
-                                       traffic of the IN pass
-Timing: warm scalar-sync (tunnel-safe), median of 3.
+Round-3 finding (interleaved, contention-guarded, B=128 x 4 scans):
+  A bf16 3365 | B int8 fp32-IN 3551 (1.06x) | C IN-skipped 5130 (1.52x)
+  D int8 with the IN *math* in bf16: 3549 — indistinguishable from B.
+C vs B proves the IN halves are the entire gap; D proves it is NOT the
+IN pass bandwidth but the fp32 materialisation of the conv output that
+the fp32 IN forces (the conv epilogue cannot requant). Hence the shipped
+fix: requantize at the conv epilogue and run IN in the int8 domain
+(models/quantized.py::_Int8Engine.conv_in_act). Measured after the fix:
+  A bf16 3475 | B legacy 3667 (1.06x) | C no-IN 5437 (1.56x)
+  E int8-domain IN 5210 (1.50x) — 96% of the no-IN ceiling.
+
+Variants now measurable (all resnet50_ibn_a, 320x320):
+  A  bf16 embed                 — the serving baseline
+  B  int8 legacy fp32-IN        — the round-2 dataflow
+  C  int8, IN skipped           — numerically WRONG; the ceiling
+  E  int8-domain IN             — the shipped flow
+Timing: interleaved across variants with a contention guard, best-of-5.
 """
 
-import statistics
+import os
+import sys
 import time
 from contextlib import contextmanager
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -32,46 +43,69 @@ BATCH, SCANS = 128, 4
 SIZE = (320, 320)
 
 
-def _time(fn, *args) -> float:
-    float(fn(*args).sum())  # compile + warmup with a real sync
-    ts = []
-    for _ in range(3):
+_probe = None
+
+
+def _quiet():
+    """Block until a trivial dispatch is fast: the dev tunnel has multi-
+    minute contention windows that would otherwise corrupt a row."""
+    global _probe
+    if _probe is None:
+        _probe = jnp.ones((256, 256), jnp.bfloat16)
+    while True:
         t0 = time.time()
-        float(fn(*args).sum())
-        ts.append(time.time() - t0)
-    return statistics.median(ts)
+        float((_probe @ _probe).sum())
+        if time.time() - t0 < 0.3:
+            return
+        time.sleep(20)
+
+
+def _time_interleaved(fns: dict, args, reps: int = 5) -> dict:
+    """Interleave single-shot timings across ALREADY-WARMED variants so
+    every variant sees the same ambient tunnel conditions; report the
+    per-variant best (a lower bound robust to contention spikes)."""
+    best = {k: float("inf") for k in fns}
+    for _ in range(reps):
+        for k, fn in fns.items():
+            _quiet()
+            t0 = time.time()
+            float(fn(args).sum())
+            best[k] = min(best[k], time.time() - t0)
+    return best
 
 
 @contextmanager
 def _patched_in(variant: str):
-    """Swap models.quantized._apply_instance_norm for a variant."""
+    """Swap _Int8Engine.conv_in_act between dataflow variants.
+
+    current  — int8-domain IN (conv requantized at its epilogue; stats +
+               apply read int8) — the shipped flow after this bench's
+               round-3 measurement.
+    legacy   — the round-2 flow: conv -> fp32 materialisation -> fp32 IN
+               -> requant (measured 1.06x bf16).
+    noin     — IN skipped entirely (numerically WRONG): the speed ceiling
+               layers 1-3 allow at this resolution.
+    """
     from centroids_reid_tpu.models import quantized as q
 
-    orig = q._apply_instance_norm
+    orig = q._Int8Engine.conv_in_act
 
-    def identity(y, in_scale, in_bias):
-        return y
+    def legacy(self, rep, entry, qname):
+        y = self._conv_fp_out(rep, entry, 1, 0)
+        y = q._apply_instance_norm(y, entry["in_scale"], entry["in_bias"])
+        return self._quant(qname, jax.nn.relu(y))
 
-    def bf16_in(y, in_scale, in_bias):
-        half = in_scale.shape[0]
-        x = y[..., :half].astype(jnp.bfloat16)
-        xf = x.astype(jnp.float32)
-        mu = jnp.mean(xf, axis=(1, 2), keepdims=True)
-        var = jnp.maximum(
-            jnp.mean(xf * xf, axis=(1, 2), keepdims=True) - mu * mu, 0.0
-        )
-        xh = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
-        return jnp.concatenate(
-            [xh * in_scale + in_bias, y[..., half:]], axis=-1
-        )
+    def noin(self, rep, entry, qname):
+        y = self._conv_fp_out(rep, entry, 1, 0)
+        return self._quant(qname, jax.nn.relu(y))
 
-    q._apply_instance_norm = {
-        "current": orig, "identity": identity, "bf16": bf16_in
+    q._Int8Engine.conv_in_act = {
+        "current": orig, "legacy": legacy, "noin": noin
     }[variant]
     try:
         yield
     finally:
-        q._apply_instance_norm = orig
+        q._Int8Engine.conv_in_act = orig
 
 
 def main():
@@ -106,27 +140,34 @@ def main():
         _, s = jax.lax.scan(body, None, xs)
         return s
 
-    rows = {}
-    t = _time(lambda xs: bf16_many(params, bstats, xs), xs_u8)
-    rows["A bf16"] = BATCH * SCANS / t
-
+    fns = {"A bf16": lambda xs: bf16_many(params, bstats, xs)}
+    float(fns["A bf16"](xs_u8).sum())  # compile + warm
+    print("A compiled", flush=True)
     for label, variant in (
-        ("B int8 current", "current"),
-        ("C int8 IN=identity", "identity"),
-        ("D int8 IN bf16", "bf16"),
+        ("B int8 legacy fp32-IN", "legacy"),
+        ("C int8 IN skipped", "noin"),
+        ("E int8-domain IN", "current"),
     ):
+        # the patched IN is baked in at TRACE time, so both calibration
+        # and the full-shape warmup run inside the patch context
         with _patched_in(variant):
             qfn = quantize_reid_model(
                 model, params, bstats, [imgs[0][:32]],
                 cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
             )
-            t = _time(lambda xs: qfn.embed_many(xs), xs_u8)
-            rows[label] = BATCH * SCANS / t
+            fn = (lambda q: lambda xs: q.embed_many(xs))(qfn)
+            float(fn(xs_u8).sum())
+        fns[label] = fn
+        print(label, "compiled", flush=True)
 
+    best = _time_interleaved(fns, xs_u8)
     print(f"\nresnet50_ibn_a {SIZE[0]}x{SIZE[1]}, B={BATCH} x {SCANS} scans")
-    base = rows["A bf16"]
-    for k, v in rows.items():
-        print(f"  {k:22s} {v:8.1f} imgs/s  ({v / base:.2f}x bf16)")
+    base_t = best["A bf16"]
+    for k, t in best.items():
+        print(
+            f"  {k:22s} {BATCH * SCANS / t:8.1f} imgs/s  "
+            f"({base_t / t:.2f}x bf16)"
+        )
 
 
 if __name__ == "__main__":

@@ -160,9 +160,11 @@ def get_default_cfg() -> ConfigNode:
     # int8 post-training-quantized serving for the offline inference CLIs
     # (models/quantized.py): BN+input folding, per-channel int8 weights,
     # self-calibrated per-tensor activation scales. Measured 1.66x embedding
-    # throughput on v5e vs bf16 (plain ResNets; IBN-a supported too, the
-    # per-sample IN halves run fp32 and cap it at ~1.07x). Eval during
-    # *training* stays bf16.
+    # throughput on v5e vs bf16 (plain ResNets; IBN-a supported too — its
+    # per-sample IN halves run in the int8 domain after a round-3
+    # measurement showed the old fp32 materialisation was the entire IBN
+    # slowdown, benchmarks/bench_int8_ibn.py). Eval during *training*
+    # stays bf16.
     _C.TPU.INT8_EVAL = False
     # Leading batches of the input folder used for activation calibration.
     _C.TPU.INT8_CALIB_BATCHES = 4

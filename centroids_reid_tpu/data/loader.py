@@ -56,6 +56,50 @@ class ImageStore:
             return img
         return self._load(path, self.size_hw)
 
+    def get_many(self, paths: List[str], out: np.ndarray,
+                 n_threads: int = 0) -> None:
+        """Fill ``out[i]`` for each path — cache hits copied, misses
+        decoded through the native GIL-free batch entry (decode threads
+        scale with host cores; identical bytes to per-image ``get``,
+        tests/test_data.py). Non-JPEG/corrupt images fall back to the
+        per-image path exactly like ``get`` would."""
+        from .. import native
+
+        missing = []
+        for i, p in enumerate(paths):
+            img = self._cache.get(p) if self.cache_enabled else None
+            if img is None:
+                missing.append(i)
+            else:
+                out[i] = img
+        if not missing:
+            return
+        blobs = []
+        for i in missing:
+            try:
+                with open(paths[i], "rb") as f:
+                    blobs.append(f.read())
+            except OSError:
+                blobs.append(b"")
+        batch_fn = (
+            native.decode_resize_batch if self.fmt == "rgb"
+            else native.decode_fast_batch
+        )
+        res = batch_fn(blobs, self.size_hw, n_threads=n_threads)
+        if res is None:  # native library unavailable: per-image fallback
+            for i in missing:
+                out[i] = self.get(paths[i])
+            return
+        decoded, failed = res
+        failed = set(failed)
+        for j, i in enumerate(missing):
+            if j in failed:
+                out[i] = self._load(paths[i], self.size_hw)  # PIL path
+            else:
+                out[i] = decoded[j]
+            if self.cache_enabled:
+                self._cache[paths[i]] = out[i].copy()
+
 
 class TrainLoader:
     """Yields per-step host batches for the P x K identity trainer.
@@ -168,6 +212,7 @@ class EvalLoader:
         self.store = store or ImageStore(
             cfg.INPUT.SIZE_TEST, cfg.TPU.CACHE_IMAGES
         )
+        self.n_threads = cfg.TPU.PREFETCH_THREADS
         self.prefetch = prefetch
 
     def __len__(self):
@@ -180,8 +225,11 @@ class EvalLoader:
         pids = np.zeros((b,), np.int64)
         camids = np.zeros((b,), np.int64)
         valid = np.zeros((b,), bool)
+        self.store.get_many(
+            [rec.path for rec in chunk], images[:len(chunk)],
+            n_threads=self.n_threads,
+        )
         for i, rec in enumerate(chunk):
-            images[i] = self.store.get(rec.path)
             pids[i] = rec.pid
             camids[i] = rec.camid
             valid[i] = True

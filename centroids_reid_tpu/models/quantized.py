@@ -32,8 +32,11 @@ Design (standard TensorRT-style PTQ, specialised for this model family):
 
 IBN-a backbones are supported: the BatchNorm half of each IBN folds into
 its conv like any conv+BN; the InstanceNorm half is per-sample (no running
-stats) and runs as an fp32 normalisation between the conv and the requant
-point (layers 1-3 bn1 only, resnet_ibn_a.py:116-118).
+stats, layers 1-3 bn1 only, resnet_ibn_a.py:116-118) and runs *in the int8
+domain*: the conv output is requantized at its epilogue and the IN stats +
+affine apply read the int8 tensor (measurement showed the old fp32
+materialisation between conv and requant was the entire IBN int8 slowdown
+— benchmarks/bench_int8_ibn.py).
 
 Accuracy is asserted by tests/test_quantized.py: folded-fp32 == model.embed,
 int8-vs-fp32 embedding cosine, and mAP preservation on a separable set.
@@ -302,8 +305,12 @@ class _FpEngine:
         return self._observe(qname, jax.nn.relu(y + res))
 
     def conv_in_act(self, x, entry, qname):
-        """conv (BN half folded) -> InstanceNorm on the first half -> ReLU."""
+        """conv (BN half folded) -> InstanceNorm on the first half -> ReLU.
+
+        Also observes the PRE-IN conv output: the int8 engine requantizes
+        there (``qname + ".pre"``) so the IN runs in the int8 domain."""
         y = _conv_fp(x, entry["w"], 1, 0) + entry["b"]
+        self._observe(qname + ".pre", y)
         y = _apply_instance_norm(y, entry["in_scale"], entry["in_bias"])
         return self._observe(qname, jax.nn.relu(y))
 
@@ -428,11 +435,39 @@ class _Int8Engine:
         return y, s_out
 
     def conv_in_act(self, rep, entry, qname):
-        """IBN bn1: always the XLA path — the IN half is a per-sample fp32
-        normalisation between the conv and the requant."""
-        y = self._conv_fp_out(rep, entry, 1, 0)
-        y = _apply_instance_norm(y, entry["in_scale"], entry["in_bias"])
-        return self._quant(qname, jax.nn.relu(y))
+        """IBN bn1 in the int8 dataflow: requantize the conv output at its
+        epilogue (one fused pass, int8 materialisation), then run the
+        per-sample InstanceNorm *in the int8 domain* — both reduction
+        passes and the affine apply read int8, 4x fewer bytes than the
+        old fp32 materialisation. Measurement (benchmarks/bench_int8_ibn
+        .py) showed that fp32 materialisation WAS the whole IBN-a int8
+        gap (1.06x with it, 1.52x without IN entirely; casting the IN
+        math to bf16 changed nothing because the conv still wrote fp32).
+        Cost: one extra per-tensor quantization before IN; deployment
+        cosine vs fp32 stays > 0.99 (tests/test_quantized.py)."""
+        half = entry["in_scale"].shape[0]
+        z, s = self._quant(
+            qname + ".pre", self._conv_fp_out(rep, entry, 1, 0)
+        )
+        s_out = self.q["act_scales"][qname]
+        x = z[..., :half].astype(jnp.float32)
+        mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(x * x, axis=(1, 2), keepdims=True) - mu * mu, 0.0
+        )
+        # stats over the INTEGER values: with real = s * int, the
+        # normalisation (real - mu_r) * rsqrt(var_r + eps) equals
+        # (int - mu) * rsqrt(var + eps / s^2) — s cancels exactly.
+        k = jax.lax.rsqrt(var + _EPS / (s * s)) * entry["in_scale"]
+        yin = (x - mu) * k + entry["in_bias"]
+        q_in = jnp.clip(
+            jnp.round(jax.nn.relu(yin) / s_out), -127, 127
+        ).astype(jnp.int8)
+        xbn = z[..., half:].astype(jnp.float32) * s
+        q_bn = jnp.clip(
+            jnp.round(jax.nn.relu(xbn) / s_out), -127, 127
+        ).astype(jnp.int8)
+        return jnp.concatenate([q_in, q_bn], axis=-1), s_out
 
     def dequant(self, rep):
         z, s = rep
@@ -718,6 +753,9 @@ def quantize_for_serving(cfg, model, params, batch_stats, records,
         "pixel_mean": [float(v) for v in cfg.INPUT.PIXEL_MEAN],
         "pixel_std": [float(v) for v in cfg.INPUT.PIXEL_STD],
         "calib_batches": int(cfg.TPU.INT8_CALIB_BATCHES),
+        # dataflow format: 2 = int8-domain InstanceNorm (needs the
+        # ".pre" activation scales; older artifacts lack them)
+        "format": 2,
     }
     cache = cfg.TPU.INT8_CACHE_PATH
     cache = QuantizedEmbed.npz_path(cache) if cache else ""

@@ -204,6 +204,52 @@ def test_run_inference_fast_matches_exact(tmp_path):
     assert cos.min() > 0.995, cos
 
 
+@pytest.mark.parametrize("fmt", ["rgb", "yuv420"])
+@pytest.mark.parametrize("cache", [False, True])
+def test_get_many_matches_get(tmp_path, fmt, cache):
+    """Batched GIL-free decode must produce byte-identical results to the
+    per-image path, including the PIL fallback for non-JPEG files."""
+    from centroids_reid_tpu.data.loader import ImageStore
+
+    rng = np.random.RandomState(7)
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"{i}.jpg"
+        p.write_bytes(_jpeg(rng.randint(0, 256, (50, 40, 3), np.uint8)))
+        paths.append(str(p))
+    png = tmp_path / "x.png"
+    Image.fromarray(rng.randint(0, 256, (50, 40, 3), np.uint8)).save(png)
+    paths.append(str(png))
+
+    ref_store = ImageStore((32, 16), cache=False, fmt=fmt)
+    expected = np.stack([ref_store.get(p) for p in paths])
+
+    store = ImageStore((32, 16), cache=cache, fmt=fmt)
+    out = np.zeros((len(paths), *store.item_shape()), np.uint8)
+    store.get_many(paths, out, n_threads=2)
+    assert np.array_equal(out, expected)
+    if cache:  # second call served from cache, still identical
+        out2 = np.zeros_like(out)
+        store.get_many(paths, out2)
+        assert np.array_equal(out2, expected)
+
+
+def test_validation_path_ignores_fast_decode():
+    """The divergent serving ingest must never leak into training/eval:
+    the validation store stays bit-exact RGB even with FAST_DECODE on."""
+    from types import SimpleNamespace
+
+    from centroids_reid_tpu.config import get_default_cfg
+    from centroids_reid_tpu.engine.evaluate import _shared_store
+
+    cfg = get_default_cfg()
+    cfg.TPU.FAST_DECODE = True
+    dataset = SimpleNamespace()
+    store = _shared_store(dataset, cfg)
+    assert store.fmt == "rgb"
+    assert store.item_shape() == (*cfg.INPUT.SIZE_TEST, 3)
+
+
 def test_retrieval_service_fast_ingest(tmp_path):
     """FAST_DECODE through the one-dispatch serving program: a query that
     is byte-identical to a gallery image still ranks itself first (both
