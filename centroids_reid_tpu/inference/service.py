@@ -32,6 +32,15 @@ class RetrievalService:
     create_embeddings output); gallery_paths: [G] identifiers returned with
     results. ``use_bf16_kernel`` routes ranking through the Pallas kernel
     (selection at bf16 resolution, exact re-scoring of winners).
+
+    ``mesh``: a Mesh with a ``gallery`` axis shards the resident gallery
+    rows across its devices (parallel/retrieval.py semantics) — galleries
+    bounded by the POD's aggregate HBM, not one chip's. The query program
+    stays ONE dispatch: replicated embed, per-shard bf16 selection + local
+    exact fp32 re-score, then an all-gather of n_devices*k candidates
+    (tiny, rides ICI) and a global exact merge. Results are identical to
+    the single-chip path (same selection resolution, same exact re-score;
+    asserted in tests/test_parallel.py).
     """
 
     def __init__(
@@ -44,6 +53,7 @@ class RetrievalService:
         use_bf16_kernel: bool = True,
         model_bundle=None,
         int8_calib_imgs: Optional[np.ndarray] = None,
+        mesh=None,
     ):
         """``int8_calib_imgs``: uint8 [N,H,W,3] sample of the query domain;
         when given, the embed stage runs the int8 PTQ path
@@ -55,6 +65,13 @@ class RetrievalService:
         if model_bundle is None:
             model_bundle = load_inference_model(cfg)
         self.model, self.params, self.batch_stats = model_bundle
+        from ..parallel.mesh import GALLERY_AXIS
+
+        self.mesh = (
+            mesh
+            if mesh is not None and mesh.shape[GALLERY_AXIS] > 1
+            else None
+        )
 
         gf = np.asarray(gallery_embeddings, np.float32)
         if normalize:
@@ -62,15 +79,44 @@ class RetrievalService:
                 np.linalg.norm(gf, axis=1, keepdims=True), 1e-12
             )
         g = gf.shape[0]
-        pad = (-g) % _G_TILE
-        gn = (gf * gf).sum(axis=1)
-        if pad:
-            gf = np.concatenate([gf, np.zeros((pad, gf.shape[1]), gf.dtype)])
-            gn = np.concatenate([gn, np.full((pad,), np.inf, np.float32)])
         kernel_dtype = jnp.bfloat16 if use_bf16_kernel else jnp.float32
-        self._gf = jax.device_put(jnp.asarray(gf, kernel_dtype))
-        self._gf32 = jax.device_put(jnp.asarray(gf[:g], jnp.float32))
-        self._gn = jax.device_put(jnp.asarray(gn, jnp.float32)[None, :])
+        if self.mesh is not None:
+            # shard gallery rows over the mesh's gallery axis; pad rows
+            # carry inf norms so they never win selection
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            n_shards = self.mesh.shape[GALLERY_AXIS]
+            pad = (-g) % n_shards
+            gn = (gf * gf).sum(axis=1)
+            if pad:
+                gf = np.concatenate(
+                    [gf, np.zeros((pad, gf.shape[1]), gf.dtype)]
+                )
+                gn = np.concatenate(
+                    [gn, np.full((pad,), np.inf, np.float32)]
+                )
+            rows = NamedSharding(self.mesh, P(GALLERY_AXIS))
+            self._gf = jax.device_put(jnp.asarray(gf, kernel_dtype), rows)
+            self._gf32 = jax.device_put(jnp.asarray(gf, jnp.float32), rows)
+            self._gn = jax.device_put(
+                jnp.asarray(gn, jnp.float32)[None, :],
+                NamedSharding(self.mesh, P(None, GALLERY_AXIS)),
+            )
+            self._shard_rows = gf.shape[0] // n_shards
+        else:
+            pad = (-g) % _G_TILE
+            gn = (gf * gf).sum(axis=1)
+            if pad:
+                gf = np.concatenate(
+                    [gf, np.zeros((pad, gf.shape[1]), gf.dtype)]
+                )
+                gn = np.concatenate(
+                    [gn, np.full((pad,), np.inf, np.float32)]
+                )
+            self._gf = jax.device_put(jnp.asarray(gf, kernel_dtype))
+            self._gf32 = jax.device_put(jnp.asarray(gf[:g], jnp.float32))
+            self._gn = jax.device_put(jnp.asarray(gn, jnp.float32)[None, :])
 
         mean = tuple(cfg.INPUT.PIXEL_MEAN)
         std = tuple(cfg.INPUT.PIXEL_STD)
@@ -97,8 +143,7 @@ class RetrievalService:
 
         size_hw = tuple(cfg.INPUT.SIZE_TEST)
 
-        @jax.jit
-        def run(params, batch_stats, gf, gf32, gn, imgs_u8):
+        def embed_q(params, batch_stats, imgs_u8):
             if qfn is not None:
                 e = qfn.apply(params, imgs_u8)
             else:
@@ -120,6 +165,11 @@ class RetrievalService:
                 e = e / jnp.maximum(
                     jnp.linalg.norm(e, axis=1, keepdims=True), 1e-12
                 )
+            return e
+
+        @jax.jit
+        def run(params, batch_stats, gf, gf32, gn, imgs_u8):
+            e = embed_q(params, batch_stats, imgs_u8)
             eq = e.astype(gf.dtype)
             pad_q = (-eq.shape[0]) % 128
             if pad_q:
@@ -149,6 +199,74 @@ class RetrievalService:
             )
 
         self._run = run
+        if self.mesh is not None:
+            self._run = self._build_sharded_run(embed_q, kernel_dtype)
+
+    def _build_sharded_run(self, embed_q, kernel_dtype):
+        """One-dispatch query program over a gallery sharded on the mesh's
+        ``gallery`` axis: replicated embed -> per-shard bf16/fp32 selection
+        (ops.retrieval hierarchical build) -> LOCAL exact fp32 re-score of
+        each shard's k winners (no cross-chip row gather) -> all-gather of
+        the n*k exact candidates (k floats+ints per query per shard — the
+        only ICI traffic) -> global top-k + stable sort. Exactness matches
+        the single-chip path: every global top-k row is inside its own
+        shard's top-k at kernel resolution, and the merge compares exact
+        fp32 distances."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.retrieval import _hier_topk_build
+        from ..parallel.mesh import GALLERY_AXIS
+
+        mesh = self.mesh
+        k_eff = self.k
+        shard_rows = self._shard_rows
+        k_local = min(k_eff, shard_rows)
+
+        def local(e_k, e32, gf_l, gf32_l, gn_l):
+            dots = jax.lax.dot_general(
+                e_k, gf_l,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST
+                           if e_k.dtype == jnp.float32 else None),
+            )
+            val, idx = _hier_topk_build(gn_l - 2.0 * dots, k_local)
+            g_sel = jnp.take(gf32_l, idx, axis=0)  # local rows only
+            d = (
+                jnp.sum(e32 * e32, axis=1)[:, None]
+                + jnp.sum(g_sel * g_sel, axis=2)
+                - 2.0 * jnp.einsum("qd,qkd->qk", e32, g_sel)
+            )
+            # padded rows (inf selection score, zero vector) must stay inf
+            d = jnp.where(jnp.isinf(val), jnp.inf, d)
+            idx = idx + jax.lax.axis_index(GALLERY_AXIS) * shard_rows
+            allv = jax.lax.all_gather(d, GALLERY_AXIS, axis=1, tiled=True)
+            alli = jax.lax.all_gather(idx, GALLERY_AXIS, axis=1, tiled=True)
+            nv, sel = jax.lax.top_k(-allv, k_eff)
+            return -nv, jnp.take_along_axis(alli, sel, axis=1)
+
+        ranked = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(GALLERY_AXIS), P(GALLERY_AXIS),
+                      P(None, GALLERY_AXIS)),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+
+        @jax.jit
+        def run_sharded(params, batch_stats, gf, gf32, gn, imgs_u8):
+            e = embed_q(params, batch_stats, imgs_u8)
+            e32 = e.astype(jnp.float32)
+            d, idx = ranked(e.astype(kernel_dtype), e32, gf, gf32, gn)
+            order = jnp.argsort(d, axis=1, stable=True)
+            return (
+                jnp.take_along_axis(d, order, axis=1),
+                jnp.take_along_axis(idx, order, axis=1),
+            )
+
+        return run_sharded
 
     def query_arrays(self, imgs_u8: np.ndarray):
         """[B, H, W, 3] uint8 -> (distances [B,k], indices [B,k], paths)."""

@@ -301,6 +301,42 @@ def test_retrieval_service_fast_ingest(tmp_path):
     assert d[0, 0] == pytest.approx(0.0, abs=1e-3)
 
 
+def test_retrieval_service_sharded_gallery_matches_single(tmp_path):
+    """mesh= shards the resident gallery over 8 virtual devices; results
+    must match the single-chip service exactly (same selection resolution,
+    same exact fp32 re-score, same tie-stable merge order on distances)."""
+    import jax
+
+    from centroids_reid_tpu.config import get_default_cfg
+    from centroids_reid_tpu.inference import RetrievalService
+    from centroids_reid_tpu.models import create_model, init_model
+    from centroids_reid_tpu.parallel.mesh import make_retrieval_mesh
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "resnet18"
+    cfg.USE_MIXED_PRECISION = False
+    cfg.INPUT.SIZE_TEST = [32, 16]
+    model = create_model(cfg, num_classes=0)
+    params, bs = init_model(model, jax.random.PRNGKey(0), (32, 16))
+
+    rng = np.random.RandomState(11)
+    gal = rng.randn(203, 512).astype(np.float32)  # odd G: exercises padding
+    paths = np.array([f"g{i}" for i in range(203)])
+    imgs = rng.randint(0, 256, (3, 32, 16, 3), np.uint8)
+
+    kw = dict(k=7, normalize=True, use_bf16_kernel=False,
+              model_bundle=(model, params, bs))
+    single = RetrievalService(cfg, gal, paths, **kw)
+    sharded = RetrievalService(
+        cfg, gal, paths, mesh=make_retrieval_mesh(8), **kw
+    )
+    d1, i1, p1 = single.query_arrays(imgs)
+    d2, i2, p2 = sharded.query_arrays(imgs)
+    np.testing.assert_allclose(d2, d1, rtol=1e-5, atol=1e-5)
+    assert np.array_equal(i1, i2)
+    assert np.array_equal(p1, p2)
+
+
 def test_run_inference_rejects_yuv_store_with_custom_fn(tmp_path):
     import jax
 
