@@ -267,6 +267,42 @@ def test_retrieval_service_int8(ckpt_dir, image_dirs, tmp_path):
         assert os.path.basename(res_paths[qi, 0]) == expected
 
 
+def test_retrieval_service_int8_sharded_gallery(ckpt_dir, image_dirs,
+                                                tmp_path):
+    """int8 embed composes with the mesh-sharded gallery: the replicated
+    quantized embed feeds the per-shard ranking, results match the
+    single-chip int8 service exactly."""
+    from PIL import Image as _Image
+
+    from centroids_reid_tpu.inference import RetrievalService
+    from centroids_reid_tpu.parallel.mesh import make_retrieval_mesh
+
+    gallery, query = image_dirs
+    cfg = _cfg(tmp_path)
+    cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg.DATASETS.ROOT_DIR = gallery
+    emb, paths = build_embeddings(cfg, images_in_subfolders=False)
+
+    calib = np.stack([
+        np.asarray(_Image.open(os.path.join(gallery, f)).resize((16, 32)))
+        for f in sorted(os.listdir(gallery))[:4]
+    ])
+    kw = dict(k=3, normalize=True, use_bf16_kernel=False,
+              int8_calib_imgs=calib)
+    single = RetrievalService(cfg, emb, paths, **kw)
+    sharded = RetrievalService(
+        cfg, emb, paths, mesh=make_retrieval_mesh(8), **kw
+    )
+    qfiles = sorted(os.path.join(query, f) for f in os.listdir(query))
+    d1, i1, p1 = single.query_files(qfiles)
+    d2, i2, p2 = sharded.query_files(qfiles)
+    assert np.array_equal(i1, i2) and np.array_equal(p1, p2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+    assert os.path.basename(p2[0, 0]).endswith(
+        os.path.basename(qfiles[0])[2:]
+    )
+
+
 def test_int8_cache_path_roundtrip(ckpt_dir, image_dirs, tmp_path):
     """TPU.INT8_CACHE_PATH: first run calibrates and saves, second run
     loads the artifact (no recalibration) and produces identical output."""
