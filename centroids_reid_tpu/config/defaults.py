@@ -124,6 +124,11 @@ def get_default_cfg() -> ConfigNode:
     _C.TPU.PREFETCH_DEPTH = 2
     # Use the Pallas fused distance+top-k kernel for retrieval when possible.
     _C.TPU.USE_PALLAS_RETRIEVAL = True
+    # get_similar CLI: shard the gallery over all local devices
+    # (parallel.sharded_topk) — for galleries past one chip's HBM on
+    # multi-chip hosts. Requires --topk (full-distmat output cannot
+    # shard) and >= 2 devices; identical results to the single-chip path.
+    _C.TPU.SHARDED_RETRIEVAL = False
     # Emit jax.profiler traces into LOG_DIR/traces when set.
     _C.TPU.PROFILE = False
     # Save the periodic (crash-resume) checkpoint every N epochs. The

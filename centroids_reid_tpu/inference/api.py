@@ -160,7 +160,31 @@ def find_similar(cfg, gallery_data: str, images_in_subfolders: bool,
     if use_pallas is None:
         use_pallas = cfg.TPU.USE_PALLAS_RETRIEVAL
     k = topk if topk else len(paths_gallery)
-    if use_pallas and topk:
+    if cfg.TPU.SHARDED_RETRIEVAL and topk:
+        # gallery sharded over all local devices: capacity = aggregate
+        # HBM; identical results to the single-chip path (tests)
+        import jax
+
+        if jax.device_count() < 2:
+            log.warning(
+                "TPU.SHARDED_RETRIEVAL needs >= 2 devices; using one"
+            )
+        from ..parallel.mesh import make_retrieval_mesh
+        from ..parallel.retrieval import sharded_topk
+
+        dists, indices = sharded_topk(
+            embeddings, embeddings_gallery, k,
+            make_retrieval_mesh(), dist=cfg.SOLVER.DISTANCE_FUNC,
+        )
+        out = {
+            qp: {
+                "indices": indices[i],
+                "paths": paths_gallery[indices[i]],
+                "distances": dists[i],
+            }
+            for i, qp in enumerate(paths)
+        }
+    elif use_pallas and topk:
         from ..ops import topk_retrieval
 
         dists, indices = topk_retrieval(

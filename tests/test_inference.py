@@ -109,6 +109,35 @@ def test_get_similar_self_retrieval(ckpt_dir, image_dirs, tmp_path):
     assert set(saved) == set(out)
 
 
+def test_get_similar_sharded_matches_single(ckpt_dir, image_dirs, tmp_path):
+    """TPU.SHARDED_RETRIEVAL shards the get_similar ranking over the
+    8-device mesh; results must match the single-device path."""
+    gallery, query = image_dirs
+    cfg = _cfg(tmp_path)
+    cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg.DATASETS.ROOT_DIR = gallery
+    build_embeddings(cfg, images_in_subfolders=False)
+
+    outs = []
+    for sharded in (False, True):
+        c = _cfg(tmp_path)
+        c.MODEL.PRETRAIN_PATH = ckpt_dir
+        c.DATASETS.ROOT_DIR = query
+        c.OUTPUT_DIR = str(tmp_path / f"out_sh{int(sharded)}")
+        c.TPU.SHARDED_RETRIEVAL = sharded
+        outs.append(find_similar(
+            c, gallery_data=cfg.OUTPUT_DIR, images_in_subfolders=False,
+            normalize_features=True, topk=3, use_pallas=False,
+        ))
+    ref, sh = outs
+    assert set(ref) == set(sh)
+    for qp in ref:
+        assert np.array_equal(ref[qp]["indices"], sh[qp]["indices"])
+        np.testing.assert_allclose(
+            ref[qp]["distances"], sh[qp]["distances"], rtol=1e-5, atol=1e-5
+        )
+
+
 def test_load_reference_torch_checkpoint(image_dirs, tmp_path):
     """A Lightning-style torch checkpoint round-trips through the converter
     and produces identical embeddings to the native params."""
