@@ -98,15 +98,21 @@ class CheckpointManager:
         self._after_commit(self._prune_ring)
 
     def _ring_entries(self):
-        return sorted(
-            (
-                d
-                for d in os.listdir(self.auto_dir)
-                if d.startswith("checkpoint_epoch")
-                and os.path.isdir(os.path.join(self.auto_dir, d))
-            ),
-            key=lambda d: int(d.rsplit("epoch", 1)[1]),
-        )
+        # strictly-numeric suffix only: a crash inside the (async) orbax
+        # write window leaves "checkpoint_epochN.orbax-checkpoint-tmp-*"
+        # dirs behind; they are NOT durable checkpoints and must neither
+        # crash the int() parse (breaking resume) nor be offered for
+        # restore/pruning.
+        entries = []
+        for d in os.listdir(self.auto_dir):
+            if not d.startswith("checkpoint_epoch"):
+                continue
+            suffix = d.rsplit("epoch", 1)[1]
+            if not suffix.isdigit():
+                continue
+            if os.path.isdir(os.path.join(self.auto_dir, d)):
+                entries.append(d)
+        return sorted(entries, key=lambda d: int(d.rsplit("epoch", 1)[1]))
 
     def _prune_ring(self):
         if not _is_main():

@@ -185,6 +185,13 @@ def extract_embeddings(
     )
 
 
+def balanced_slice(n: int, n_proc: int, rank: int) -> Tuple[int, int]:
+    """Contiguous balanced [lo, hi) split of n rows over n_proc ranks:
+    sizes differ by at most one and every rank is non-empty when
+    n >= n_proc (the ceil-chunk split both are NOT true of)."""
+    return rank * n // n_proc, (rank + 1) * n // n_proc
+
+
 def extract_embeddings_sharded(
     model, cfg, params_model, batch_stats, records, store,
     embed_many_fn=None,
@@ -203,9 +210,13 @@ def extract_embeddings_sharded(
     n_proc = jax.process_count()
     rank = jax.process_index()
     n = len(records)
-    per = -(-n // n_proc)  # ceil; n >= n_proc checked by the caller
-    lo = min(rank * per, n)
-    hi = min(lo + per, n)
+    # BALANCED contiguous split (rank*n//p slicing): every rank gets a
+    # non-empty slice whenever n >= n_proc (caller-checked). The previous
+    # ceil-chunk split handed trailing ranks an EMPTY slice for many
+    # (n, p) — e.g. n=9, p=8 — which crashed that rank in concatenate
+    # while its peers hung in the allgather.
+    per = -(-n // n_proc)  # max rows per rank = the uniform gather width
+    lo, hi = balanced_slice(n, n_proc, rank)
     loader = EvalLoader(records[lo:hi], cfg, store=store)
     emb, pids, camids = extract_embeddings(
         model, cfg, params_model, batch_stats, loader,
@@ -294,10 +305,17 @@ def run_validation(
     store = _shared_store(dataset, cfg)
     # int8 deployment-accuracy eval (ONLY_TEST + TPU.INT8_EVAL); one
     # quantization per dataset object covers the double eval
-    # cache key includes the checkpoint identity: a reloaded/different
-    # checkpoint on the same dataset object must requantize (stale int8
-    # weights would otherwise be silently reused)
-    int8_key = (str(cfg.MODEL.PRETRAIN_PATH), str(cfg.TPU.INT8_CACHE_PATH))
+    # cache key includes everything the quantized fn depends on: the
+    # checkpoint identity, the ENABLE gate itself (a later eval with
+    # INT8_EVAL flipped off must not reuse the cached quantized fn), and
+    # the calibration knobs / normalisation constants (mirrors the .npz
+    # artifact identity dict in models/quantized.py)
+    int8_key = (
+        bool(cfg.TPU.INT8_EVAL and cfg.TEST.ONLY_TEST),
+        str(cfg.MODEL.PRETRAIN_PATH), str(cfg.TPU.INT8_CACHE_PATH),
+        int(cfg.TPU.INT8_CALIB_BATCHES), float(cfg.TPU.INT8_CALIB_PCT),
+        tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD),
+    )
     int8_fn = None
     if getattr(dataset, "_int8_eval_key", None) == int8_key:
         int8_fn = getattr(dataset, "_int8_eval_fn", None)

@@ -54,6 +54,7 @@ class RetrievalService:
         model_bundle=None,
         int8_calib_imgs: Optional[np.ndarray] = None,
         mesh=None,
+        max_query_batch: int = 512,
     ):
         """``int8_calib_imgs``: uint8 [N,H,W,3] sample of the query domain;
         when given, the embed stage runs the int8 PTQ path
@@ -61,6 +62,7 @@ class RetrievalService:
         self.cfg = cfg
         self.k = int(min(k, len(gallery_paths)))
         self.normalize = normalize
+        self.max_query_batch = int(max_query_batch)
         self.paths = np.asarray(gallery_paths)
         if model_bundle is None:
             model_bundle = load_inference_model(cfg)
@@ -215,36 +217,29 @@ class RetrievalService:
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        from ..ops.retrieval import _hier_topk_build
         from ..parallel.mesh import GALLERY_AXIS
+        from ..parallel.retrieval import shard_select_merge
 
         mesh = self.mesh
         k_eff = self.k
         shard_rows = self._shard_rows
-        k_local = min(k_eff, shard_rows)
 
         def local(e_k, e32, gf_l, gf32_l, gn_l):
-            dots = jax.lax.dot_general(
-                e_k, gf_l,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=(jax.lax.Precision.HIGHEST
-                           if e_k.dtype == jnp.float32 else None),
+            def rescore(val, idx):
+                # exact fp32 re-score of the shard's winners against its
+                # LOCAL fp32 rows; padded winners (inf selection score,
+                # zero vector) must stay inf
+                g_sel = jnp.take(gf32_l, idx, axis=0)
+                d = (
+                    jnp.sum(e32 * e32, axis=1)[:, None]
+                    + jnp.sum(g_sel * g_sel, axis=2)
+                    - 2.0 * jnp.einsum("qd,qkd->qk", e32, g_sel)
+                )
+                return jnp.where(jnp.isinf(val), jnp.inf, d)
+
+            return shard_select_merge(
+                e_k, gf_l, gn_l, k_eff, shard_rows, rescore=rescore
             )
-            val, idx = _hier_topk_build(gn_l - 2.0 * dots, k_local)
-            g_sel = jnp.take(gf32_l, idx, axis=0)  # local rows only
-            d = (
-                jnp.sum(e32 * e32, axis=1)[:, None]
-                + jnp.sum(g_sel * g_sel, axis=2)
-                - 2.0 * jnp.einsum("qd,qkd->qk", e32, g_sel)
-            )
-            # padded rows (inf selection score, zero vector) must stay inf
-            d = jnp.where(jnp.isinf(val), jnp.inf, d)
-            idx = idx + jax.lax.axis_index(GALLERY_AXIS) * shard_rows
-            allv = jax.lax.all_gather(d, GALLERY_AXIS, axis=1, tiled=True)
-            alli = jax.lax.all_gather(idx, GALLERY_AXIS, axis=1, tiled=True)
-            nv, sel = jax.lax.top_k(-allv, k_eff)
-            return -nv, jnp.take_along_axis(alli, sel, axis=1)
 
         ranked = shard_map(
             local,
@@ -269,13 +264,42 @@ class RetrievalService:
         return run_sharded
 
     def query_arrays(self, imgs_u8: np.ndarray):
-        """[B, H, W, 3] uint8 -> (distances [B,k], indices [B,k], paths)."""
-        d, idx = self._run(
-            self.params, self.batch_stats, self._gf, self._gf32, self._gn,
-            jnp.asarray(imgs_u8),
-        )
-        d = np.asarray(d)
-        idx = np.asarray(idx)
+        """[B, H, W, 3] uint8 (or packed YUV420 [B, 1.5*H*W]) ->
+        (distances [B,k], indices [B,k], paths).
+
+        Batches beyond ``max_query_batch`` are processed in chunks: the
+        ranking program scores [chunk, G] at fp32, so an unbounded B
+        would make peak memory O(B*G) — 4096 queries x a 1M gallery is
+        16 GB of scores. Each chunk is still one dispatch; the tail chunk
+        is zero-padded to the chunk size so at most two program shapes
+        ever compile."""
+        b = imgs_u8.shape[0]
+        cap = self.max_query_batch
+        if b <= cap:
+            d, idx = self._run(
+                self.params, self.batch_stats, self._gf, self._gf32,
+                self._gn, jnp.asarray(imgs_u8),
+            )
+            d = np.asarray(d)
+            idx = np.asarray(idx)
+            return d, idx, self.paths[idx]
+        ds, idxs = [], []
+        for s in range(0, b, cap):
+            chunk = imgs_u8[s:s + cap]
+            rows = chunk.shape[0]
+            if rows < cap:
+                chunk = np.concatenate([
+                    np.asarray(chunk),
+                    np.zeros((cap - rows, *chunk.shape[1:]), chunk.dtype),
+                ])
+            d, idx = self._run(
+                self.params, self.batch_stats, self._gf, self._gf32,
+                self._gn, jnp.asarray(chunk),
+            )
+            ds.append(np.asarray(d)[:rows])
+            idxs.append(np.asarray(idx)[:rows])
+        d = np.concatenate(ds)
+        idx = np.concatenate(idxs)
         return d, idx, self.paths[idx]
 
     def query_files(self, image_paths: Sequence[str]):

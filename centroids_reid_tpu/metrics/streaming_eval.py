@@ -38,6 +38,7 @@ shard the Q x G distance computation over devices").
 
 from __future__ import annotations
 
+import functools
 from collections import defaultdict
 from functools import partial
 from typing import Optional
@@ -162,17 +163,17 @@ def _stream_ranks(qf_c, q_pids_c, q_camids_c, pos_c, gf, g_pids, g_camids,
     return dpos, ranks
 
 
-def _stream_ranks_sharded(mesh, qf_c, q_pids_c, q_camids_c, pos_c, gf,
-                          g_pids, g_camids, g_valid, g_chunk: int,
-                          dist: str, respect_camids: bool):
-    """Gallery rows sharded over the mesh's gallery axis; counts psum."""
+@functools.lru_cache(maxsize=32)
+def _stream_ranks_sharded_program(mesh, shard_rows: int, g_chunk: int,
+                                  dist: str, respect_camids: bool):
+    """Build + jit the sharded rank-count program ONCE per
+    (mesh, layout, flags) — building a fresh shard_map + jax.jit object
+    per 128-query chunk re-traced every chunk (the same retrace class
+    parallel/retrieval.py's _sharded_topk_program fixed)."""
     from jax.experimental.shard_map import shard_map
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import GALLERY_AXIS
-
-    n = mesh.shape[GALLERY_AXIS]
-    shard_rows = gf.shape[0] // n
 
     def local(qf_l, qp_l, qc_l, pos_l, gf_l, gp_l, gc_l, gv_l):
         j0 = (jax.lax.axis_index(GALLERY_AXIS) * shard_rows).astype(
@@ -192,19 +193,13 @@ def _stream_ranks_sharded(mesh, qf_c, q_pids_c, q_camids_c, pos_c, gf,
         )
         return dpos, jax.lax.psum(ranks, GALLERY_AXIS)
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(GALLERY_AXIS), P(GALLERY_AXIS),
                   P(GALLERY_AXIS), P(GALLERY_AXIS)),
         out_specs=(P(), P()),
         check_rep=False,
-    )
-    sh_g = NamedSharding(mesh, P(GALLERY_AXIS))
-    sh_r = NamedSharding(mesh, P())
-    args = [jax.device_put(x, sh_r)
-            for x in (qf_c, q_pids_c, q_camids_c, pos_c)]
-    args += [jax.device_put(x, sh_g) for x in (gf, g_pids, g_camids, g_valid)]
-    return jax.jit(fn)(*args)
+    ))
 
 
 def eval_func_streaming(
@@ -262,6 +257,20 @@ def eval_func_streaming(
     dev = [gf_p] + [jnp.asarray(x) for x in
                     (g_pids_p.astype(np.int32),
                      g_camids_p.astype(np.int32), g_valid)]
+    if mesh is not None:
+        # place the (possibly multi-GB) gallery into its sharded layout
+        # ONCE — not per query chunk — and reuse one compiled program
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import GALLERY_AXIS
+
+        sh_g = NamedSharding(mesh, P(GALLERY_AXIS))
+        sh_r = NamedSharding(mesh, P())
+        dev = [jax.device_put(x, sh_g) for x in dev]
+        sharded_prog = _stream_ranks_sharded_program(
+            mesh, gf_p.shape[0] // mesh.shape[GALLERY_AXIS], g_chunk,
+            dist, respect_camids,
+        )
 
     dpos_all, ranks_all = [], []
     for s in range(0, num_q, _Q_CHUNK):
@@ -286,10 +295,10 @@ def eval_func_streaming(
                 respect_camids=respect_camids,
             )
         else:
-            dpos, ranks = _stream_ranks_sharded(
-                mesh, jnp.asarray(qf_c), jnp.asarray(qp_c),
-                jnp.asarray(qc_c), jnp.asarray(pos_c), *dev,
-                g_chunk=g_chunk, dist=dist, respect_camids=respect_camids,
+            dpos, ranks = sharded_prog(
+                jax.device_put(qf_c, sh_r), jax.device_put(qp_c, sh_r),
+                jax.device_put(qc_c, sh_r), jax.device_put(pos_c, sh_r),
+                *dev,
             )
         dpos_all.append(np.asarray(dpos)[:rows])
         ranks_all.append(np.asarray(ranks)[:rows])

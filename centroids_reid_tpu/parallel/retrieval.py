@@ -23,6 +23,38 @@ from ..ops.retrieval import _hier_topk_build
 from .mesh import GALLERY_AXIS
 
 
+def shard_select_merge(qf_l, gf_l, gn_l, k_eff: int, shard_rows: int,
+                       rescore=None):
+    """The shard-local selection + global-merge protocol (runs INSIDE a
+    shard_map over ``GALLERY_AXIS``), shared by ``sharded_topk`` and
+    ``RetrievalService``'s sharded ranking:
+
+    MXU dot against the local gallery rows -> hierarchical top-k_local
+    (k_local = min(k, shard_rows)) -> optional ``rescore(val, idx) ->
+    val`` hook (the service re-scores winners in exact fp32 against its
+    LOCAL fp32 rows — no cross-chip gather) -> global row offset ->
+    all-gather of the n*k_local candidates per query (the only ICI
+    traffic) -> one small top-k merge. Exact because every global top-k
+    row is inside its own shard's top-k at scoring resolution.
+    """
+    k_local = min(k_eff, shard_rows)
+    dots = jax.lax.dot_general(
+        qf_l, gf_l,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST
+                   if qf_l.dtype == jnp.float32 else None),
+    )
+    val, idx = _hier_topk_build(gn_l - 2.0 * dots, k_local)
+    if rescore is not None:
+        val = rescore(val, idx)
+    idx = idx + jax.lax.axis_index(GALLERY_AXIS) * shard_rows
+    allv = jax.lax.all_gather(val, GALLERY_AXIS, axis=1, tiled=True)
+    alli = jax.lax.all_gather(idx, GALLERY_AXIS, axis=1, tiled=True)
+    nv, sel = jax.lax.top_k(-allv, k_eff)
+    return -nv, jnp.take_along_axis(alli, sel, axis=1)
+
+
 @functools.lru_cache(maxsize=64)
 def _sharded_topk_program(mesh: Mesh, dist: str, g: int, shard_rows: int,
                           k_eff: int, pad: int):
@@ -43,22 +75,9 @@ def _sharded_topk_program(mesh: Mesh, dist: str, g: int, shard_rows: int,
             gn = jnp.where(row_ids < g, gn, jnp.inf)
         if dist == "cosine":
             gn = jnp.where(jnp.isinf(gn), gn, 1.0)
-        dots = jax.lax.dot_general(
-            qf_l, gf_l,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=(jax.lax.Precision.HIGHEST
-                       if qf_l.dtype == jnp.float32 else None),
-        )
         # a shard may hold fewer than k rows; the all-gather still yields
         # >= k_eff candidates because n * shard_rows >= G >= k_eff
-        k_local = min(k_eff, shard_rows)
-        val, idx = _hier_topk_build(gn - 2.0 * dots, k_local)
-        idx = idx + jax.lax.axis_index(GALLERY_AXIS) * shard_rows
-        allv = jax.lax.all_gather(val, GALLERY_AXIS, axis=1, tiled=True)
-        alli = jax.lax.all_gather(idx, GALLERY_AXIS, axis=1, tiled=True)
-        nv, sel = jax.lax.top_k(-allv, k_eff)
-        return -nv, jnp.take_along_axis(alli, sel, axis=1)
+        return shard_select_merge(qf_l, gf_l, gn, k_eff, shard_rows)
 
     return jax.jit(shard_map(
         local,

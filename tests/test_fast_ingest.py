@@ -336,6 +336,13 @@ def test_retrieval_service_sharded_gallery_matches_single(tmp_path):
     assert np.array_equal(i1, i2)
     assert np.array_equal(p1, p2)
 
+    # query chunking (memory bound for huge batches): same results,
+    # chunked dispatches with a zero-padded tail
+    chunked = RetrievalService(cfg, gal, paths, max_query_batch=2, **kw)
+    d3, i3, p3 = chunked.query_arrays(imgs)
+    np.testing.assert_allclose(d3, d1, rtol=1e-5, atol=1e-5)
+    assert np.array_equal(i3, i1)
+
 
 def test_run_inference_rejects_yuv_store_with_custom_fn(tmp_path):
     import jax

@@ -110,3 +110,47 @@ def test_async_checkpointing_ring_and_best(tmp_path):
         np.asarray(jax.tree.leaves(restored.params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]),
     )
+
+
+def test_ring_ignores_leftover_orbax_tmp_dirs(tmp_path):
+    """A crash inside the (async) orbax write window leaves
+    checkpoint_epochN.orbax-checkpoint-tmp-* dirs; resume and pruning
+    must skip them instead of crashing on the int() parse."""
+    import os
+
+    from centroids_reid_tpu.config import get_default_cfg
+    from centroids_reid_tpu.engine import CheckpointManager, create_train_state
+    from centroids_reid_tpu.models import create_model
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "resnet18"
+    cfg.USE_MIXED_PRECISION = False
+    model = create_model(cfg, num_classes=4)
+    state, _ = create_train_state(cfg, model, 4, seed=0)
+
+    mgr = CheckpointManager(str(tmp_path / "logs"), n_saved=2)
+    mgr.save_periodic(0, state, cfg)
+    mgr.close()
+    # simulate an interrupted async write
+    os.makedirs(
+        os.path.join(mgr.auto_dir,
+                     "checkpoint_epoch5.orbax-checkpoint-tmp-12345")
+    )
+    assert mgr._ring_entries() == ["checkpoint_epoch0"]
+    assert mgr.latest_periodic().endswith("checkpoint_epoch0")
+    mgr._prune_ring()  # must not raise
+
+
+def test_balanced_slice_covers_and_never_empty():
+    """The multi-host extraction split: contiguous, covering, non-empty
+    whenever n >= n_proc (the old ceil-chunk split handed trailing ranks
+    empty slices for e.g. n=9, p=8 — crash + allgather hang)."""
+    from centroids_reid_tpu.engine.evaluate import balanced_slice
+
+    for n, p in [(9, 8), (5, 4), (8, 8), (17, 4), (1000, 7), (8, 1)]:
+        spans = [balanced_slice(n, p, r) for r in range(p)]
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (lo, hi), (lo2, _) in zip(spans, spans[1:]):
+            assert hi == lo2
+        assert all(hi > lo for lo, hi in spans)
+        assert max(hi - lo for lo, hi in spans) <= -(-n // p)
