@@ -183,9 +183,13 @@ def test_two_process_fit_end_to_end(tmp_path, data_path):
     ds_root = _make_separable_market(tmp_path, n_pids=16, per_pid=4)
     log_dir = tmp_path / "logs"
     log_dir.mkdir()
+    # 1080 s: the two subprocesses compile everything fresh and this test
+    # runs LAST of the CPU-heavy ones in a full-suite batch on a 1-core
+    # host — at 720 s the [streaming] variant flaked under load while
+    # passing in ~100 s in isolation
     outs = _run_two_procs(
         tmp_path, _FIT_WORKER,
-        extra_args=(ds_root, str(log_dir), data_path), timeout=720,
+        extra_args=(ds_root, str(log_dir), data_path), timeout=1080,
     )
     finals = {}
     for out in outs:

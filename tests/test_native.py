@@ -79,6 +79,28 @@ def test_non_jpeg_and_corrupt_fall_back():
     assert decode_resize(data[: len(data) // 2], (64, 32)) is None
 
 
+def test_fuzzed_mutations_never_crash():
+    """Random truncations/byte-flips of a valid JPEG must produce either a
+    successful decode or a clean per-image failure (rc != 0 -> None /
+    fallback) — never a crash or an out-of-bounds write, on both the
+    bit-exact and the fast-ingest entry points."""
+    from centroids_reid_tpu.native import decode_fast
+
+    rng = np.random.RandomState(42)
+    base = _jpeg(rng.randint(0, 255, (48, 40, 3), np.uint8), quality=80)
+    mutants = [base[: int(len(base) * f)] for f in (0.1, 0.5, 0.9, 0.99)]
+    for _ in range(40):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            b[rng.randint(len(b))] = rng.randint(256)
+        mutants.append(bytes(b))
+    for m in mutants:
+        out = decode_resize(m, (64, 32))
+        assert out is None or out.shape == (64, 32, 3)
+        packed = decode_fast(m, (64, 32))
+        assert packed is None or packed.shape == (64 * 32 * 3 // 2,)
+
+
 def test_batch_matches_single_and_reports_failures():
     rng = np.random.RandomState(1)
     blobs, refs = [], []
