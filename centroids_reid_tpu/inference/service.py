@@ -33,6 +33,13 @@ class RetrievalService:
     results. ``use_bf16_kernel`` routes ranking through the Pallas kernel
     (selection at bf16 resolution, exact re-scoring of winners).
 
+    ``exact_rescore=False`` drops the resident fp32 gallery copy and
+    re-scores winners from the kernel-dtype rows instead — with the bf16
+    kernel that is bf16-resolution gallery values in fp32 arithmetic
+    (ranking differences only among near-ties). Capacity triples: a
+    1M x 2048 gallery costs 4 GB resident instead of 12 GB, ~3M rows fit
+    one v5e chip before needing ``mesh``.
+
     ``mesh``: a Mesh with a ``gallery`` axis shards the resident gallery
     rows across its devices (parallel/retrieval.py semantics) — galleries
     bounded by the POD's aggregate HBM, not one chip's. The query program
@@ -55,6 +62,7 @@ class RetrievalService:
         int8_calib_imgs: Optional[np.ndarray] = None,
         mesh=None,
         max_query_batch: int = 512,
+        exact_rescore: bool = True,
     ):
         """``int8_calib_imgs``: uint8 [N,H,W,3] sample of the query domain;
         when given, the embed stage runs the int8 PTQ path
@@ -100,7 +108,10 @@ class RetrievalService:
                 )
             rows = NamedSharding(self.mesh, P(GALLERY_AXIS))
             self._gf = jax.device_put(jnp.asarray(gf, kernel_dtype), rows)
-            self._gf32 = jax.device_put(jnp.asarray(gf, jnp.float32), rows)
+            self._gf32 = (
+                jax.device_put(jnp.asarray(gf, jnp.float32), rows)
+                if exact_rescore else self._gf
+            )
             self._gn = jax.device_put(
                 jnp.asarray(gn, jnp.float32)[None, :],
                 NamedSharding(self.mesh, P(None, GALLERY_AXIS)),
@@ -117,7 +128,10 @@ class RetrievalService:
                     [gn, np.full((pad,), np.inf, np.float32)]
                 )
             self._gf = jax.device_put(jnp.asarray(gf, kernel_dtype))
-            self._gf32 = jax.device_put(jnp.asarray(gf[:g], jnp.float32))
+            self._gf32 = (
+                jax.device_put(jnp.asarray(gf[:g], jnp.float32))
+                if exact_rescore else self._gf
+            )
             self._gn = jax.device_put(jnp.asarray(gn, jnp.float32)[None, :])
 
         mean = tuple(cfg.INPUT.PIXEL_MEAN)
@@ -187,8 +201,10 @@ class RetrievalService:
             # the ~4x slower chunked XLA fallback here.
             val, idx = topk_select(eq, gf, gn, k_eff)
             val, idx = val[: e.shape[0]], idx[: e.shape[0]]
-            # exact re-score + sort of the winners in fp32
-            g_sel = jnp.take(gf32, idx, axis=0)
+            # exact re-score + sort of the winners in fp32 (the astype is
+            # a no-op with the fp32 copy; with exact_rescore=False it
+            # widens the kernel-dtype rows so arithmetic stays fp32)
+            g_sel = jnp.take(gf32, idx, axis=0).astype(jnp.float32)
             d = (
                 jnp.sum(e.astype(jnp.float32) ** 2, axis=1)[:, None]
                 + jnp.sum(g_sel * g_sel, axis=2)
@@ -228,8 +244,9 @@ class RetrievalService:
             def rescore(val, idx):
                 # exact fp32 re-score of the shard's winners against its
                 # LOCAL fp32 rows; padded winners (inf selection score,
-                # zero vector) must stay inf
-                g_sel = jnp.take(gf32_l, idx, axis=0)
+                # zero vector) must stay inf. astype: no-op for the fp32
+                # copy, widens kernel-dtype rows when exact_rescore=False
+                g_sel = jnp.take(gf32_l, idx, axis=0).astype(jnp.float32)
                 d = (
                     jnp.sum(e32 * e32, axis=1)[:, None]
                     + jnp.sum(g_sel * g_sel, axis=2)

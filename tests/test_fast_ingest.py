@@ -343,6 +343,20 @@ def test_retrieval_service_sharded_gallery_matches_single(tmp_path):
     np.testing.assert_allclose(d3, d1, rtol=1e-5, atol=1e-5)
     assert np.array_equal(i3, i1)
 
+    # capacity mode: exact_rescore=False drops the fp32 gallery copy;
+    # with the fp32 kernel the alias is exact, both topologies
+    for svc in (
+        RetrievalService(cfg, gal, paths, exact_rescore=False, **kw),
+        RetrievalService(
+            cfg, gal, paths, exact_rescore=False,
+            mesh=make_retrieval_mesh(8), **kw
+        ),
+    ):
+        assert svc._gf32 is svc._gf
+        d4, i4, _ = svc.query_arrays(imgs)
+        np.testing.assert_allclose(d4, d1, rtol=1e-5, atol=1e-5)
+        assert np.array_equal(i4, i1)
+
 
 def test_run_inference_rejects_yuv_store_with_custom_fn(tmp_path):
     import jax
