@@ -138,13 +138,18 @@ def test_get_similar_sharded_matches_single(ckpt_dir, image_dirs, tmp_path):
         )
 
 
-def test_load_reference_torch_checkpoint(image_dirs, tmp_path):
+@pytest.mark.parametrize("backbone", ["resnet18", "resnet50_ibn_a"])
+def test_load_reference_torch_checkpoint(image_dirs, tmp_path, backbone):
     """A Lightning-style torch checkpoint round-trips through the converter
-    and produces identical embeddings to the native params."""
+    and produces identical embeddings to the native params. The IBN-a case
+    covers the fashion flagship's IN/BN split naming
+    (layerX.Y.bn1.{IN,BN}.* <-> the flax IBN module tree)."""
     torch = pytest.importorskip("torch")
     import jax.numpy as jnp
 
     cfg = _cfg(tmp_path)
+    cfg.MODEL.NAME = backbone
+    cfg.MODEL.BACKBONE_EMB_SIZE = 512 if backbone == "resnet18" else 2048
     model = create_model(cfg, num_classes=4)
     state, _ = create_train_state(cfg, model, 4, seed=1)
     params_model = jax.tree.map(np.asarray, state.params["model"])
