@@ -20,3 +20,21 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: repeated test runs skip XLA recompiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def cpu_subprocess_env(**extra):
+    """Environment for CPU-only subprocesses spawned by tests.
+
+    Forces the cpu platform AND removes the TPU-plugin autoload trigger
+    (PALLAS_AXON_POOL_IPS): when it is set, this machine's sitecustomize
+    claims the shared TPU chip at *interpreter start* — before any user
+    code runs — and that claim can block 100-300 s during chip contention
+    windows. A subprocess that only ever wants CPU must not pay (or flake
+    on) that claim. Harmless elsewhere: the variable simply isn't set.
+    """
+    env = {
+        k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(extra)
+    return env

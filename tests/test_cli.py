@@ -6,6 +6,8 @@ import os
 
 import pytest
 
+from conftest import cpu_subprocess_env
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CLIS = [
@@ -22,7 +24,7 @@ CLIS = [
 
 @pytest.mark.parametrize("cli", CLIS)
 def test_cli_help(cli):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = cpu_subprocess_env()
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, cli), "--help"],
         capture_output=True, timeout=240, env=env, cwd=ROOT,
@@ -32,7 +34,7 @@ def test_cli_help(cli):
 
 
 def test_train_cli_rejects_unknown_key():
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = cpu_subprocess_env()
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "train_ctl_model.py"),
          "SOLVER.NOT_A_KEY", "1"],
@@ -93,7 +95,7 @@ def test_parity_gate_dry_run(tmp_path):
         run1, "auto_checkpoints", "checkpoint_epoch*")) if os.path.isdir(a)]
     assert ckpt
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = cpu_subprocess_env()
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "assert_parity.py"),
          "--config_file", "", "--ckpt", ckpt[0], "--root", root,

@@ -12,6 +12,8 @@ import sys
 
 import pytest
 
+from conftest import cpu_subprocess_env
+
 _WORKER = r"""
 import os, sys
 proc_id = int(sys.argv[1])
@@ -86,7 +88,12 @@ def _run_two_procs(tmp_path, script, extra_args=(), timeout=600):
             os.path.join(os.path.dirname(os.path.dirname(__file__)),
                          "centroids_reid_tpu")
         )
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # cpu_subprocess_env: the workers must not pay (or flake on) the
+    # TPU-plugin claim sitecustomize makes at interpreter start; they also
+    # set their own XLA_FLAGS, so drop the parent's.
+    env = {
+        k: v for k, v in cpu_subprocess_env().items() if k != "XLA_FLAGS"
+    }
     port = str(12000 + os.getpid() % 20000)  # avoid cross-run port clashes
     procs = [
         subprocess.Popen(
