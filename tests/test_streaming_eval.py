@@ -125,3 +125,29 @@ def test_streaming_sharded_matches_single_device():
     m_ref = eval_func_streaming(*data, g_chunk=16)
     m_sh = eval_func_streaming(*data, g_chunk=16, mesh=mesh)
     _assert_same(m_sh, m_ref)
+
+
+@needs_mesh
+def test_streaming_sharded_respect_camids_cosine():
+    """Sharded path under the centroid protocol (bitmask camids, membership
+    removal) and cosine distance — the psum'd extract/count must agree with
+    the single-device stream and the argsort oracle."""
+    rng = np.random.RandomState(5)
+    q, g, d = 13, 190, 8
+    qf = rng.randn(q, d).astype(np.float32)
+    gf = rng.randn(g, d).astype(np.float32)
+    q_pids = rng.randint(0, 6, q)
+    g_pids = rng.randint(0, 6, g)
+    q_camids = rng.randint(0, 4, q)
+    cam_sets = [rng.choice(4, rng.randint(1, 4), replace=False)
+                for _ in range(g)]
+    g_masks = camid_sets_to_bitmask(cam_sets)
+    mesh = make_retrieval_mesh(8)
+    for dist in ("euclidean", "cosine"):
+        m_ref = _oracle(qf, gf, q_pids, g_pids, q_camids, g_masks,
+                        dist, respect_camids=True)
+        m_sh = eval_func_streaming(
+            qf, gf, q_pids, g_pids, q_camids, g_masks,
+            respect_camids=True, dist=dist, g_chunk=16, mesh=mesh,
+        )
+        _assert_same(m_sh, m_ref)
