@@ -245,9 +245,14 @@ def extract_embeddings_sharded(
 
 def compute_reid_metrics(
     cfg, embeddings, pids, camids, num_query: int, use_centroids: bool,
-    return_evaluator: bool = False,
+    return_evaluator: bool = False, streaming: bool = None,
 ):
-    """get_val_metrics equivalent (bases.py:264-297 + 307-314)."""
+    """get_val_metrics equivalent (bases.py:264-297 + 307-314).
+
+    ``streaming``: forwarded to R1mAP — None auto-switches to the
+    streaming evaluator past the HBM-safe cell count; callers that need
+    ``evaluator.last_distmat`` afterwards (rank visualisation) must pass
+    False, since the streaming path never materialises the matrix."""
     respect = bool(cfg.MODEL.KEEP_CAMID_CENTROIDS and use_centroids)
     if use_centroids:
         print("Evaluation is done using centroids")
@@ -259,6 +264,7 @@ def compute_reid_metrics(
         num_query=num_query,
         feat_norm=cfg.TEST.FEAT_NORM,
         dist_name=cfg.SOLVER.DISTANCE_FUNC,
+        streaming=streaming,
     )
     metrics = evaluator.compute(
         embeddings, pids, camids, respect_camids=respect
@@ -337,9 +343,14 @@ def run_validation(
             EvalLoader(dataset.val, cfg, store=store),
             embed_many_fn=int8_fn,
         )
+    # rank visualisation reads evaluator.last_distmat, which the streaming
+    # evaluator never materialises — pin the materialising path when the
+    # user asked for visuals (visualisation-scale evals fit HBM; a truly
+    # streaming-scale eval cannot be visualised per-query anyway)
     m, evaluator = compute_reid_metrics(
         cfg, emb, pids, camids, dataset.num_query, use_centroids,
         return_evaluator=True,
+        streaming=False if cfg.TEST.VISUALIZE == "yes" else None,
     )
 
     if cfg.TEST.VISUALIZE == "yes":

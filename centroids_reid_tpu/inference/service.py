@@ -21,8 +21,21 @@ from ..data.transforms import (
     normalize_batch,
     normalize_yuv420_batch,
 )
-from ..ops.retrieval import _G_TILE, topk_select
+from ..ops.retrieval import _G_TILE, _SCORE_BUDGET_BYTES, topk_select
 from .api import load_inference_model
+
+
+def _pad_gallery(gf: np.ndarray, unit: int):
+    """Pad gallery rows to a multiple of ``unit``; returns (gf, gn) where
+    padded rows are zero vectors with +inf squared norm so they can never
+    win selection."""
+    g = gf.shape[0]
+    gn = (gf * gf).sum(axis=1)
+    pad = (-g) % unit
+    if pad:
+        gf = np.concatenate([gf, np.zeros((pad, gf.shape[1]), gf.dtype)])
+        gn = np.concatenate([gn, np.full((pad,), np.inf, np.float32)])
+    return gf, gn
 
 
 class RetrievalService:
@@ -38,16 +51,24 @@ class RetrievalService:
     kernel that is bf16-resolution gallery values in fp32 arithmetic
     (ranking differences only among near-ties). Capacity triples: a
     1M x 2048 gallery costs 4 GB resident instead of 12 GB, ~3M rows fit
-    one v5e chip before needing ``mesh``.
+    one v5e chip before needing ``mesh``. At k > 32 (or with the fp32
+    kernel) selection materialises a per-dispatch [B, G] fp32 score
+    matrix, so ``max_query_batch`` is auto-clamped against
+    ops.retrieval's score budget — huge galleries just see smaller query
+    dispatches, never an OOM.
 
     ``mesh``: a Mesh with a ``gallery`` axis shards the resident gallery
     rows across its devices (parallel/retrieval.py semantics) — galleries
     bounded by the POD's aggregate HBM, not one chip's. The query program
     stays ONE dispatch: replicated embed, per-shard bf16 selection + local
     exact fp32 re-score, then an all-gather of n_devices*k candidates
-    (tiny, rides ICI) and a global exact merge. Results are identical to
-    the single-chip path (same selection resolution, same exact re-score;
-    asserted in tests/test_parallel.py).
+    (tiny, rides ICI) and a global exact merge. Results match the
+    single-chip path up to bf16 selection resolution on near-ties: both
+    select at kernel dtype and re-score winners exactly, but the sharded
+    path merges per-shard candidates by exact fp32 distance, so two rows
+    whose bf16 scores tie across shards can swap relative to the
+    single-chip order (fp32 kernels are bit-identical;
+    tests/test_parallel.py asserts identity on its fixtures).
     """
 
     def __init__(
@@ -97,15 +118,7 @@ class RetrievalService:
             from jax.sharding import PartitionSpec as P
 
             n_shards = self.mesh.shape[GALLERY_AXIS]
-            pad = (-g) % n_shards
-            gn = (gf * gf).sum(axis=1)
-            if pad:
-                gf = np.concatenate(
-                    [gf, np.zeros((pad, gf.shape[1]), gf.dtype)]
-                )
-                gn = np.concatenate(
-                    [gn, np.full((pad,), np.inf, np.float32)]
-                )
+            gf, gn = _pad_gallery(gf, n_shards)
             rows = NamedSharding(self.mesh, P(GALLERY_AXIS))
             self._gf = jax.device_put(jnp.asarray(gf, kernel_dtype), rows)
             self._gf32 = (
@@ -118,21 +131,25 @@ class RetrievalService:
             )
             self._shard_rows = gf.shape[0] // n_shards
         else:
-            pad = (-g) % _G_TILE
-            gn = (gf * gf).sum(axis=1)
-            if pad:
-                gf = np.concatenate(
-                    [gf, np.zeros((pad, gf.shape[1]), gf.dtype)]
-                )
-                gn = np.concatenate(
-                    [gn, np.full((pad,), np.inf, np.float32)]
-                )
+            gf, gn = _pad_gallery(gf, _G_TILE)
             self._gf = jax.device_put(jnp.asarray(gf, kernel_dtype))
             self._gf32 = (
                 jax.device_put(jnp.asarray(gf[:g], jnp.float32))
                 if exact_rescore else self._gf
             )
             self._gn = jax.device_put(jnp.asarray(gn, jnp.float32)[None, :])
+
+        # k > 32 (and fp32-kernel) selection materialises a [B, width] fp32
+        # score matrix per dispatch (ops.retrieval topk_select dispatch
+        # table); clamp the query chunk so that buffer respects the same
+        # score budget the CLI path enforces. width = per-shard rows on a
+        # mesh (each device scores its shard). Floor 128: the Pallas query
+        # tile — at the floor a 3M-row gallery costs ~1.5 GB of scores,
+        # the irreducible minimum for one dispatch.
+        if not (use_bf16_kernel and self.k <= 32):
+            width = self._shard_rows if self.mesh is not None else gf.shape[0]
+            cap = max(128, (_SCORE_BUDGET_BYTES // (width * 4)) // 128 * 128)
+            self.max_query_batch = min(self.max_query_batch, cap)
 
         mean = tuple(cfg.INPUT.PIXEL_MEAN)
         std = tuple(cfg.INPUT.PIXEL_STD)

@@ -87,6 +87,7 @@ class R1mAP:
         self.dist_name = dist_name
         self.streaming = streaming
         self.mesh = mesh
+        self._last_distmat_device = None
 
     def compute(
         self, feats, pids, camids, respect_camids: bool = False

@@ -60,3 +60,24 @@ def test_visualize_during_validation(ds_root, tmp_path):
     vis = os.path.join(cfg.OUTPUT_DIR, "visrank")
     pngs = [f for f in os.listdir(vis) if f.endswith(".png")]
     assert len(pngs) == ds.num_query
+
+
+def test_visualize_pins_materialising_eval(ds_root, tmp_path, monkeypatch):
+    """TEST.VISUALIZE needs evaluator.last_distmat, which the streaming
+    evaluator never builds — run_validation must pin streaming=False even
+    when the Q*G auto-switch would otherwise trigger it."""
+    import centroids_reid_tpu.metrics.r1_map as r1_map
+
+    monkeypatch.setattr(r1_map, "_STREAMING_CELLS", 0)  # always auto-stream
+    cfg, ds, model, state = _setup(ds_root)
+    cfg.TEST.VISUALIZE = "yes"
+    cfg.TEST.VISUALIZE_TOPK = 3
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    out = run_validation(
+        cfg, model, state.params["model"], state.batch_stats, ds,
+        use_centroids=False,
+    )
+    assert np.isfinite(out["mAP"])
+    vis = os.path.join(cfg.OUTPUT_DIR, "visrank")
+    assert len([f for f in os.listdir(vis) if f.endswith(".png")]) \
+        == ds.num_query

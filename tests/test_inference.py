@@ -251,6 +251,50 @@ def test_retrieval_service_self_query(ckpt_dir, image_dirs, tmp_path):
         assert (np.diff(d[qi]) >= -1e-6).all()
 
 
+def test_retrieval_service_clamps_query_batch(ckpt_dir, image_dirs,
+                                              tmp_path, monkeypatch):
+    """At k > 32 the selection materialises a [B, Gp] fp32 score matrix per
+    dispatch; the service must clamp max_query_batch against the score
+    budget (huge galleries shrink the dispatch instead of OOMing) and the
+    host-side chunking must keep results identical."""
+    import centroids_reid_tpu.inference.service as S
+
+    gallery, query = image_dirs
+    cfg = _cfg(tmp_path)
+    cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg.DATASETS.ROOT_DIR = gallery
+    emb, paths = build_embeddings(cfg, images_in_subfolders=False)
+
+    from centroids_reid_tpu.inference import RetrievalService
+
+    # gallery pads to _G_TILE=1024 rows -> 4 KB of scores per query row;
+    # a 256-row budget must clamp the default 512 down to 256
+    monkeypatch.setattr(S, "_SCORE_BUDGET_BYTES", 256 * 1024 * 4)
+    svc = RetrievalService(
+        cfg, emb, paths, k=40, normalize=True, use_bf16_kernel=False,
+    )
+    assert svc.max_query_batch == 256
+    # floor: even a budget smaller than one Pallas query tile yields 128
+    monkeypatch.setattr(S, "_SCORE_BUDGET_BYTES", 1024)
+    svc_floor = RetrievalService(
+        cfg, emb, paths, k=40, normalize=True, use_bf16_kernel=False,
+    )
+    assert svc_floor.max_query_batch == 128
+    # the streaming-merge path (bf16, k <= 32) never materialises scores
+    # and must keep the caller's batch
+    svc_small_k = RetrievalService(
+        cfg, emb, paths, k=3, normalize=True, use_bf16_kernel=True,
+    )
+    assert svc_small_k.max_query_batch == 512
+
+    qfiles = sorted(os.path.join(query, f) for f in os.listdir(query))
+    d, idx, res_paths = svc_floor.query_files(qfiles)
+    assert d.shape == (3, 12)  # k=40 capped to gallery size
+    for qi, qpath in enumerate(qfiles):
+        expected = os.path.basename(qpath)[2:]
+        assert os.path.basename(res_paths[qi, 0]) == expected
+
+
 def test_create_embeddings_int8(ckpt_dir, image_dirs, tmp_path):
     """TPU.INT8_EVAL routes build_embeddings through the quantized serving
     path (self-calibrated on the input folder) and stays close to fp32."""

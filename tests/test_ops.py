@@ -126,6 +126,35 @@ def test_hier_topk_levels_and_ties():
             assert (np.diff(v, axis=1) >= 0).all()
 
 
+def test_vmem_topk_interpret_matches_lax_topk():
+    """Oracle for the TPU-only _vmem_topk Pallas selection kernel
+    (interpret mode — the backend gate keeps it off the CPU suite).
+
+    Covers: k-pass min/argmin selection, first-occurrence (lowest-column)
+    tie-break matching lax.top_k, +inf columns never selected, row tiling
+    (q not a tile multiple) and lane padding (w % 128 != 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from centroids_reid_tpu.ops.retrieval import _vmem_topk
+
+    rng = np.random.RandomState(7)
+    for q, w in ((3, 100), (17, 1000), (9, 128)):
+        x = rng.randn(q, w).astype(np.float32)
+        x[0, :] = 2.0                      # full tie row
+        if w > 10:
+            x[-1, -7:] = np.inf            # inf columns must lose
+            dup = x[1, 3]
+            x[1, 5] = dup                  # duplicated value, two columns
+        for k in (1, 4, 32):
+            k_eff = min(k, w)
+            v, i = _vmem_topk(jnp.asarray(x), k_eff, interpret=True)
+            rv, ri = jax.lax.top_k(-jnp.asarray(x), k_eff)
+            np.testing.assert_allclose(np.asarray(v), -np.asarray(rv),
+                                       rtol=0, atol=0)
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
 def test_topk_pallas_packed_merge_interpret():
     """bf16 packed-key merge: selection at bf16 resolution, exact re-scored
     distances, correct set up to bf16 near-ties."""
