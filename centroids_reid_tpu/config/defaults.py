@@ -135,6 +135,11 @@ def get_default_cfg() -> ConfigNode:
     # reference hardcodes every epoch (utils/misc.py:88-93); pulling the
     # full train state off-device each epoch is expensive on TPU.
     _C.TPU.PERIODIC_CHECKPOINT_INTERVAL = 1
+    # Graceful preemption: SIGTERM (spot/maintenance notice) makes fit()
+    # save a ring checkpoint at the next epoch boundary and exit cleanly
+    # for MODEL.RESUME_TRAINING; a second SIGTERM terminates immediately.
+    # The reference has no preemption handling (SURVEY.md §5).
+    _C.TPU.GRACEFUL_PREEMPTION = True
     # Debug aid: abort on the first NaN/Inf produced on device
     # (jax_debug_nans). The reference has no sanitizers (SURVEY.md §5).
     _C.TPU.DEBUG_NANS = False

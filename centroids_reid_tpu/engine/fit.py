@@ -27,7 +27,7 @@ from ..models import create_model
 from ..models.convert import load_pretrained_backbone, graft
 from ..parallel import make_data_mesh, replicate, shard_batch
 from ..solver import lr_for_epoch, set_learning_rate
-from ..utils import annotate, profile_trace
+from ..utils import PreemptionGuard, annotate, profile_trace
 from .checkpoint import CheckpointManager, epoch_of_checkpoint, restore_state
 from .epoch_runner import make_epoch_runner
 from .evaluate import run_validation
@@ -258,114 +258,144 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
         )
 
     metrics_out: Dict[str, float] = {}
-    for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS):
-        lr = lr_for_epoch(epoch, cfg)
-        set_learning_rate(state.opt_state, lr)
-        # streaming path: fold the process index in so hosts draw distinct
-        # augmentations for their local groups. The resident path is ONE
-        # global SPMD program whose key input must be identical on every
-        # process (augment keys are split per-image over the global [G,PK]
-        # grid inside the program, so streams stay distinct per group).
-        global_key = jax.random.fold_in(base_key, epoch)
-        epoch_key = jax.random.fold_in(global_key, jax.process_index())
+    # graceful preemption: SIGTERM -> save at the epoch boundary, clean
+    # exit for MODEL.RESUME_TRAINING (utils/preemption.py; the reference
+    # has nothing past crash-resume, SURVEY.md §5)
+    preempted = False
+    guard = PreemptionGuard(enabled=cfg.TPU.GRACEFUL_PREEMPTION)
+    with guard:
+        for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCHS):
+            lr = lr_for_epoch(epoch, cfg)
+            set_learning_rate(state.opt_state, lr)
+            # streaming path: fold the process index in so hosts draw distinct
+            # augmentations for their local groups. The resident path is ONE
+            # global SPMD program whose key input must be identical on every
+            # process (augment keys are split per-image over the global [G,PK]
+            # grid inside the program, so streams stay distinct per group).
+            global_key = jax.random.fold_in(base_key, epoch)
+            epoch_key = jax.random.fold_in(global_key, jax.process_index())
 
-        t0 = time.time()
-        # one profiler trace of the first trained epoch when TPU.PROFILE
-        with profile_trace(
-            log_dir, enabled=cfg.TPU.PROFILE and epoch == start_epoch
-        ):
-            if resident:
-                plan = loader.plan_for_epoch(epoch)
-                idx, labels, is_real = plan_to_arrays(plan, dataset.train)
-                n_steps = plan.num_steps
-                # pad every epoch to one static step count -> one compile
-                s_max = max_steps_bound(
-                    dataset.train_dict, cfg.SOLVER.IMS_PER_BATCH,
-                    cfg.DATALOADER.NUM_INSTANCE, g,
+            t0 = time.time()
+            # one profiler trace of the first trained epoch when TPU.PROFILE
+            with profile_trace(
+                log_dir, enabled=cfg.TPU.PROFILE and epoch == start_epoch
+            ):
+                if resident:
+                    plan = loader.plan_for_epoch(epoch)
+                    idx, labels, is_real = plan_to_arrays(plan, dataset.train)
+                    n_steps = plan.num_steps
+                    # pad every epoch to one static step count -> one compile
+                    s_max = max_steps_bound(
+                        dataset.train_dict, cfg.SOLVER.IMS_PER_BATCH,
+                        cfg.DATALOADER.NUM_INSTANCE, g,
+                    )
+                    step_valid = np.zeros((s_max,), bool)
+                    step_valid[:n_steps] = True
+                    pad = s_max - n_steps
+                    if pad:
+                        def _pad(a):
+                            return np.concatenate(
+                                [a, np.repeat(a[-1:], pad, axis=0)], axis=0
+                            )
+                        idx, labels, is_real = map(_pad, (idx, labels, is_real))
+                    state, mean_metrics = run_epoch(
+                        state,
+                        image_bank,
+                        _put_plan(idx),
+                        _put_plan(labels),
+                        _put_plan(is_real),
+                        _put_replicated(step_valid),
+                        # always placed with the compiled program's expected
+                        # (replicated) sharding — the AOT executable now also
+                        # covers the mesh case
+                        _put_replicated(global_key),
+                    )
+                    agg = {k: [v] for k, v in mean_metrics.items()}
+                else:
+                    agg = {}
+                    n_steps = 0
+                    for t, batch in enumerate(loader.epoch(epoch)):
+                        with annotate("augment_dispatch"):
+                            images = jnp.asarray(batch["images"])
+                            is_real = jnp.asarray(batch["is_real"])
+                            x = augment_batch(
+                                images, is_real, jax.random.fold_in(epoch_key, t),
+                                size_hw, cfg.INPUT.PADDING, mean, std,
+                                cfg.INPUT.PROB, cfg.INPUT.RE_PROB, dtype=dtype,
+                            )
+                        device_batch = {
+                            "images": x,
+                            "labels": jnp.asarray(batch["labels"]),
+                            "is_real": is_real,
+                        }
+                        if mesh is not None:
+                            device_batch = shard_batch(mesh, device_batch)
+                        with annotate("train_step_dispatch"):
+                            state, step_metrics = train_step(state, device_batch)
+                        n_steps += 1
+                        for k, v in step_metrics.items():
+                            agg.setdefault(k, []).append(v)
+
+            # epoch end: one host sync for all step metrics
+            epoch_metrics = {
+                k: float(np.mean([float(x) for x in v])) for k, v in agg.items()
+            }
+            epoch_metrics["lr"] = lr
+            epoch_metrics["epoch_time_s"] = time.time() - t0
+            epoch_metrics["steps"] = n_steps
+            # name mapping parity: epoch_train_loss, epoch_dist_ap/an
+            epoch_metrics["epoch_train_loss"] = epoch_metrics.pop("loss", 0.0)
+            if "step_dist_ap" in epoch_metrics:
+                epoch_metrics["epoch_dist_ap"] = epoch_metrics.pop("step_dist_ap")
+                epoch_metrics["epoch_dist_an"] = epoch_metrics.pop("step_dist_an")
+            logger.log_metrics(epoch_metrics, step=epoch)
+            if is_main:
+                print(
+                    f"epoch {epoch}: loss={epoch_metrics['epoch_train_loss']:.4f} "
+                    f"lr={lr:.2e} steps={n_steps} "
+                    f"({epoch_metrics['epoch_time_s']:.1f}s)"
                 )
-                step_valid = np.zeros((s_max,), bool)
-                step_valid[:n_steps] = True
-                pad = s_max - n_steps
-                if pad:
-                    def _pad(a):
-                        return np.concatenate(
-                            [a, np.repeat(a[-1:], pad, axis=0)], axis=0
-                        )
-                    idx, labels, is_real = map(_pad, (idx, labels, is_real))
-                state, mean_metrics = run_epoch(
-                    state,
-                    image_bank,
-                    _put_plan(idx),
-                    _put_plan(labels),
-                    _put_plan(is_real),
-                    _put_replicated(step_valid),
-                    # always placed with the compiled program's expected
-                    # (replicated) sharding — the AOT executable now also
-                    # covers the mesh case
-                    _put_replicated(global_key),
+
+            if (epoch + 1) % cfg.SOLVER.EVAL_PERIOD == 0:
+                val = run_validation(
+                    cfg, model, _local_view(state.params["model"]),
+                    _local_view(state.batch_stats),
+                    dataset, use_centroids=cfg.MODEL.USE_CENTROIDS,
                 )
-                agg = {k: [v] for k, v in mean_metrics.items()}
-            else:
-                agg = {}
-                n_steps = 0
-                for t, batch in enumerate(loader.epoch(epoch)):
-                    with annotate("augment_dispatch"):
-                        images = jnp.asarray(batch["images"])
-                        is_real = jnp.asarray(batch["is_real"])
-                        x = augment_batch(
-                            images, is_real, jax.random.fold_in(epoch_key, t),
-                            size_hw, cfg.INPUT.PADDING, mean, std,
-                            cfg.INPUT.PROB, cfg.INPUT.RE_PROB, dtype=dtype,
-                        )
-                    device_batch = {
-                        "images": x,
-                        "labels": jnp.asarray(batch["labels"]),
-                        "is_real": is_real,
-                    }
-                    if mesh is not None:
-                        device_batch = shard_batch(mesh, device_batch)
-                    with annotate("train_step_dispatch"):
-                        state, step_metrics = train_step(state, device_batch)
-                    n_steps += 1
-                    for k, v in step_metrics.items():
-                        agg.setdefault(k, []).append(v)
+                logger.log_metrics(val, step=epoch)
+                metrics_out = val
+                ckpt.save_if_best(
+                    epoch, state, val[cfg.SOLVER.MONITOR_METRIC_NAME], cfg
+                )
+            saved_ring = (epoch + 1) % cfg.TPU.PERIODIC_CHECKPOINT_INTERVAL == 0
+            if saved_ring:
+                ckpt.save_periodic(epoch, state, cfg)
+            # collective stop decision: every process polls at this same
+            # point, so a SIGTERM delivered to ANY host stops ALL of them
+            # at the same epoch (no process left inside the next epoch's
+            # collectives)
+            if guard.should_stop(n_proc):
+                if not saved_ring:
+                    ckpt.save_periodic(epoch, state, cfg)
+                preempted = True
+                if is_main:
+                    print(
+                        f"Preemption signal received — saved "
+                        f"checkpoint_epoch{epoch}, stopping cleanly. Resume "
+                        f"with MODEL.RESUME_TRAINING True MODEL.PRETRAIN_PATH "
+                        f"<auto_checkpoints/checkpoint_epoch{epoch}>"
+                    )
+                break
 
-        # epoch end: one host sync for all step metrics
-        epoch_metrics = {
-            k: float(np.mean([float(x) for x in v])) for k, v in agg.items()
-        }
-        epoch_metrics["lr"] = lr
-        epoch_metrics["epoch_time_s"] = time.time() - t0
-        epoch_metrics["steps"] = n_steps
-        # name mapping parity: epoch_train_loss, epoch_dist_ap/an
-        epoch_metrics["epoch_train_loss"] = epoch_metrics.pop("loss", 0.0)
-        if "step_dist_ap" in epoch_metrics:
-            epoch_metrics["epoch_dist_ap"] = epoch_metrics.pop("step_dist_ap")
-            epoch_metrics["epoch_dist_an"] = epoch_metrics.pop("step_dist_an")
-        logger.log_metrics(epoch_metrics, step=epoch)
-        if is_main:
-            print(
-                f"epoch {epoch}: loss={epoch_metrics['epoch_train_loss']:.4f} "
-                f"lr={lr:.2e} steps={n_steps} "
-                f"({epoch_metrics['epoch_time_s']:.1f}s)"
-            )
-
-        if (epoch + 1) % cfg.SOLVER.EVAL_PERIOD == 0:
-            val = run_validation(
-                cfg, model, _local_view(state.params["model"]),
-                _local_view(state.batch_stats),
-                dataset, use_centroids=cfg.MODEL.USE_CENTROIDS,
-            )
-            logger.log_metrics(val, step=epoch)
-            metrics_out = val
-            ckpt.save_if_best(
-                epoch, state, val[cfg.SOLVER.MONITOR_METRIC_NAME], cfg
-            )
-        if (epoch + 1) % cfg.TPU.PERIODIC_CHECKPOINT_INTERVAL == 0:
-            ckpt.save_periodic(epoch, state, cfg)
-
-    # end-of-training double test, both eval modes (misc.py:159-161)
-    for use_centroids in (cfg.MODEL.USE_CENTROIDS, not cfg.MODEL.USE_CENTROIDS):
+    # end-of-training double test, both eval modes (misc.py:159-161) —
+    # skipped on preemption (the grace window is for the save, not a full
+    # double evaluation; callers see metrics["preempted"] and stop)
+    final_modes = () if preempted else (
+        cfg.MODEL.USE_CENTROIDS, not cfg.MODEL.USE_CENTROIDS
+    )
+    if preempted:
+        metrics_out["preempted"] = 1.0
+    for use_centroids in final_modes:
         val = run_validation(
             cfg, model, _local_view(state.params["model"]),
             _local_view(state.batch_stats),

@@ -165,7 +165,11 @@ def run_main(cfg, mode: str, logger_save_dir: str) -> Dict[str, float]:
             cfg.REPRODUCIBLE_SEED = seed
             seed_everything(seed)
             out = run_single(cfg, mode, logger_save_dir)
+            if out.get("preempted"):  # SIGTERM: no further seeds
+                break
     else:
         for _ in range(cfg.REPRODUCIBLE_NUM_RUNS):
             out = run_single(cfg, mode, logger_save_dir)
+            if out.get("preempted"):
+                break
     return out
