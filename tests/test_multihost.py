@@ -294,3 +294,93 @@ def test_two_process_sharded_validation_extraction(tmp_path):
     )
     for out in outs:
         assert "SHARD_OK" in out, out[-3000:]
+
+
+_PREEMPT_WORKER = r"""
+import os, signal, sys
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+ds_root = sys.argv[3]
+log_dir = sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2,
+    process_id=proc_id,
+)
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("warmup")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import importlib
+fitmod = importlib.import_module("centroids_reid_tpu.engine.fit")
+from centroids_reid_tpu.config import get_default_cfg
+
+# deterministic injection: lr_for_epoch runs at the top of every epoch,
+# INSIDE the PreemptionGuard context — process 0 (only) signals itself at
+# the start of epoch 2. The collective stop decision must then stop BOTH
+# processes at epoch 2's boundary; if it didn't, process 1 would enter
+# epoch 3's collectives alone and die on the Gloo deadline (nonzero exit).
+_orig_lr = fitmod.lr_for_epoch
+def _lr_hook(epoch, cfg):
+    if epoch == 2 and proc_id == 0:
+        os.kill(os.getpid(), signal.SIGTERM)
+    return _orig_lr(epoch, cfg)
+fitmod.lr_for_epoch = _lr_hook
+
+cfg = get_default_cfg()
+cfg.DATASETS.ROOT_DIR = ds_root
+cfg.MODEL.NAME = "resnet18"
+cfg.MODEL.PRETRAINED = False
+cfg.USE_MIXED_PRECISION = False
+cfg.INPUT.SIZE_TRAIN = [32, 16]
+cfg.INPUT.SIZE_TEST = [32, 16]
+cfg.SOLVER.IMS_PER_BATCH = 2
+cfg.SOLVER.MAX_EPOCHS = 30          # would be a long run if not stopped
+cfg.SOLVER.EVAL_PERIOD = 100        # no eval before the preemption
+cfg.TEST.IMS_PER_BATCH = 16
+cfg.MODEL.USE_CENTROIDS = True
+cfg.DATALOADER.USE_RESAMPLING = False
+cfg.TPU.NUM_GROUPS = 8
+cfg.TPU.PERIODIC_CHECKPOINT_INTERVAL = 100  # only the preemption save
+cfg.LOG_DIR = log_dir
+
+out = fitmod.fit(cfg, "ctl", log_dir)
+print(f"PREEMPT {proc_id} preempted={out.get('preempted', 0.0)} "
+      f"tested={'test_centroids_mAP' in out}", flush=True)
+"""
+
+
+@pytest.mark.skipif(
+    os.environ.get("SKIP_MULTIHOST") == "1", reason="explicitly skipped"
+)
+def test_two_process_preemption_collective_stop(tmp_path):
+    """SIGTERM delivered to ONE process stops BOTH at the same epoch via
+    the guard's collective should_stop (utils/preemption.py): clean exits,
+    one preemption-triggered ring checkpoint of epoch 2, no final double
+    test. A broken collective would strand process 1 in epoch 3's
+    collectives and fail on the Gloo deadline."""
+    from test_integration import _make_separable_market
+
+    ds_root = _make_separable_market(tmp_path, n_pids=16, per_pid=4)
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    outs = _run_two_procs(
+        tmp_path, _PREEMPT_WORKER,
+        extra_args=(ds_root, str(log_dir)), timeout=1080,
+    )
+    seen = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("PREEMPT "):
+                _, pid, pre, tested = line.split()
+                seen[pid] = (pre, tested)
+    assert seen == {
+        "0": ("preempted=1.0", "tested=False"),
+        "1": ("preempted=1.0", "tested=False"),
+    }, outs
+    ring = [d for d in os.listdir(log_dir / "auto_checkpoints")
+            if d.startswith("checkpoint_epoch")
+            and os.path.isdir(log_dir / "auto_checkpoints" / d)]
+    assert ring == ["checkpoint_epoch2"], ring
