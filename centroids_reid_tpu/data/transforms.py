@@ -31,8 +31,11 @@ from PIL import Image
 _N_ERASE_DRAWS = 8
 
 
-def load_and_resize(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
-    """Host: decode to RGB and resize to (H, W). Returns uint8 [H, W, 3].
+def decode_and_resize_bytes(
+    data: bytes, size_hw: Tuple[int, int]
+) -> np.ndarray:
+    """Host: decode encoded image bytes to RGB and resize to (H, W).
+    Returns uint8 [H, W, 3].
 
     PIL's BILINEAR matches torchvision T.Resize default interpolation.
     JPEGs take the native C++ path when available (bit-exact vs PIL —
@@ -42,8 +45,6 @@ def load_and_resize(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
     """
     from ..native import decode_resize
 
-    with open(path, "rb") as f:
-        data = f.read()
     out = decode_resize(data, size_hw)
     if out is not None:
         return out
@@ -55,7 +56,16 @@ def load_and_resize(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
     return np.asarray(img, np.uint8)
 
 
-def load_and_pack_yuv420(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
+def load_and_resize(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
+    """File variant of decode_and_resize_bytes (the offline/eval loaders)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return decode_and_resize_bytes(data, size_hw)
+
+
+def decode_and_pack_yuv420_bytes(
+    data: bytes, size_hw: Tuple[int, int]
+) -> np.ndarray:
     """Host serving-path ingest: decode (DCT-scaled for large sources),
     resize, pack planar YUV420. Returns uint8 [1.5*H*W]. Falls back to
     exact PIL decode + numpy pack for anything the native decoder
@@ -63,8 +73,6 @@ def load_and_pack_yuv420(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
     is why this path is gated behind TPU.FAST_DECODE."""
     from ..native import decode_fast, rgb_to_yuv420_np
 
-    with open(path, "rb") as f:
-        data = f.read()
     out = decode_fast(data, size_hw)
     if out is not None:
         return out
@@ -74,6 +82,13 @@ def load_and_pack_yuv420(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
     h, w = size_hw
     img = img.resize((w, h), Image.BILINEAR)
     return rgb_to_yuv420_np(np.asarray(img, np.uint8))
+
+
+def load_and_pack_yuv420(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
+    """File variant of decode_and_pack_yuv420_bytes (offline fast ingest)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return decode_and_pack_yuv420_bytes(data, size_hw)
 
 
 def _normalize(x_f32, mean, std):

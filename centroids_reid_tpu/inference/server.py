@@ -1,0 +1,243 @@
+"""JSON-over-HTTP serving front-end for RetrievalService.
+
+The reference ships only offline inference CLIs
+(/root/reference/inference/create_embeddings.py, get_similar.py:96-135 —
+batch jobs over folders); this adds the online-serving surface the TPU
+build targets: a dependency-free HTTP endpoint over a device-resident
+gallery, answering ranked retrieval queries in one TPU dispatch per
+batch (inference/service.py).
+
+Endpoints (all JSON):
+
+  GET  /healthz
+      -> {"status": "ok", "gallery_size": N, "k": K, "ingest": "rgb|yuv420",
+          "model": cfg.MODEL.NAME}
+  POST /search   body {"images_b64": ["<base64 jpeg/png>", ...],
+                       "k": optional int (<= service k)}
+      -> {"results": [{"paths": [...], "indices": [...],
+                       "distances": [...]}, ...]}  # one entry per image
+
+Concurrency model: ThreadingHTTPServer accepts requests concurrently;
+host-side decode/resize (GIL-releasing native path, data/transforms.py)
+runs in each request's thread, while the device dispatch is serialised
+by a lock — the chip executes one program at a time, so queueing at the
+dispatch boundary (not in the XLA client) keeps latency predictable.
+Gallery mutation is intentionally absent: the gallery is a device-
+resident immutable index (rebuild + swap the service to update, the
+same lifecycle as the reference's create_embeddings artifacts).
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+MAX_BODY_BYTES = 256 << 20  # one POST; ~256 queries of phone-camera JPEGs
+
+
+class RetrievalHTTPServer:
+    """Wraps a RetrievalService in a threaded HTTP server.
+
+    ``port=0`` binds an ephemeral port (tests); ``server.port`` reports
+    the bound one. ``start_background()`` serves from a daemon thread and
+    returns; ``shutdown()`` stops it.
+    """
+
+    def __init__(self, service, host: str = "127.0.0.1", port: int = 8000):
+        self.service = service
+        self._dispatch_lock = threading.Lock()
+        self._thread = None
+        handler = _make_handler(self)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
+        self.host, self.port = self.httpd.server_address[:2]
+
+    # -- request work (called from handler threads) -----------------------
+    def health(self) -> dict:
+        from .utils import serving_ingest_format
+
+        svc = self.service
+        return {
+            "status": "ok",
+            "gallery_size": int(len(svc.paths)),
+            "k": int(svc.k),
+            "ingest": (
+                "rgb" if svc._qfn is not None
+                else serving_ingest_format(svc.cfg)
+            ),
+            "model": svc.cfg.MODEL.NAME,
+        }
+
+    def search(self, payload: dict) -> dict:
+        imgs_b64 = payload.get("images_b64")
+        if not isinstance(imgs_b64, list) or not imgs_b64:
+            raise BadRequest("'images_b64' must be a non-empty list")
+        k = payload.get("k", self.service.k)
+        if not isinstance(k, int) or not 1 <= k <= self.service.k:
+            raise BadRequest(
+                f"'k' must be an int in [1, {self.service.k}] (the service"
+                " was built with k={}; rebuild it for deeper results)".format(
+                    self.service.k
+                )
+            )
+        try:
+            blobs = [base64.b64decode(s, validate=True) for s in imgs_b64]
+        except (binascii.Error, TypeError) as e:
+            raise BadRequest(f"invalid base64 image payload: {e}")
+        try:
+            # decode outside the lock (parallel across request threads),
+            # dispatch under it
+            imgs = self.service.ingest_bytes(blobs)
+        except Exception as e:
+            raise BadRequest(f"undecodable image: {e}")
+        with self._dispatch_lock:
+            d, idx, paths = self.service.query_arrays(imgs)
+        return {
+            "results": [
+                {
+                    "paths": [str(p) for p in paths[i, :k]],
+                    "indices": [int(j) for j in idx[i, :k]],
+                    "distances": [float(x) for x in d[i, :k]],
+                }
+                for i in range(len(blobs))
+            ]
+        }
+
+    # -- lifecycle --------------------------------------------------------
+    def serve_forever(self):
+        print(
+            f"RetrievalHTTPServer on http://{self.host}:{self.port} "
+            f"(gallery={len(self.service.paths)}, k={self.service.k})"
+        )
+        self.httpd.serve_forever()
+
+    def start_background(self):
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(10)
+
+
+class BadRequest(ValueError):
+    pass
+
+
+def _make_handler(server: RetrievalHTTPServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                return self._reply(200, server.health())
+            return self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/search":
+                return self._reply(404, {"error": f"unknown path {self.path}"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                n = -1
+            if n <= 0:
+                return self._reply(400, {"error": "missing request body"})
+            if n > MAX_BODY_BYTES:
+                return self._reply(
+                    413, {"error": f"body exceeds {MAX_BODY_BYTES} bytes"}
+                )
+            try:
+                payload = json.loads(self.rfile.read(n))
+                if not isinstance(payload, dict):
+                    raise BadRequest("body must be a JSON object")
+                return self._reply(200, server.search(payload))
+            except BadRequest as e:
+                return self._reply(400, {"error": str(e)})
+            except json.JSONDecodeError as e:
+                return self._reply(400, {"error": f"invalid JSON: {e}"})
+            except Exception as e:  # pragma: no cover — defensive
+                return self._reply(
+                    500, {"error": f"{type(e).__name__}: {e}"}
+                )
+
+    return Handler
+
+
+def main(argv=None):
+    """CLI: serve a previously built gallery (create_embeddings artifacts:
+    <gallery_data>/embeddings.npy + paths.npy) over HTTP."""
+    import argparse
+
+    from ..config import get_default_cfg
+    from .service import RetrievalService
+
+    parser = argparse.ArgumentParser(
+        description="HTTP retrieval serving over a device-resident gallery"
+    )
+    parser.add_argument("--config_file", default="", type=str)
+    parser.add_argument(
+        "--gallery_data", type=str, required=True,
+        help="dir with embeddings.npy/paths.npy from create_embeddings",
+    )
+    parser.add_argument("--host", default="127.0.0.1", type=str)
+    parser.add_argument("--port", default=8000, type=int)
+    parser.add_argument(
+        "--topk", type=int, default=100,
+        help="max results per query (the gallery depth the service ranks)",
+    )
+    parser.add_argument("--normalize_features", action="store_true")
+    parser.add_argument(
+        "--fp32_exact", action="store_true",
+        help="fp32 selection kernel (default: bf16 select + exact re-score)",
+    )
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args(argv)
+
+    cfg = get_default_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts)
+
+    from pathlib import Path
+
+    load_path = Path(args.gallery_data)
+    emb = np.load(load_path / "embeddings.npy", allow_pickle=True)
+    paths = np.load(load_path / "paths.npy", allow_pickle=True)
+
+    mesh = None
+    if cfg.TPU.SHARDED_RETRIEVAL:
+        import jax
+
+        from ..parallel.mesh import make_retrieval_mesh
+
+        if jax.device_count() >= 2:
+            mesh = make_retrieval_mesh()
+
+    service = RetrievalService(
+        cfg, emb, paths, k=args.topk,
+        normalize=args.normalize_features,
+        use_bf16_kernel=not args.fp32_exact,
+        mesh=mesh,
+    )
+    RetrievalHTTPServer(service, args.host, args.port).serve_forever()

@@ -16,11 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.transforms import (
-    load_and_resize,
-    normalize_batch,
-    normalize_yuv420_batch,
-)
+from ..data.transforms import normalize_batch, normalize_yuv420_batch
 from ..ops.retrieval import _G_TILE, _SCORE_BUDGET_BYTES, topk_select
 from .api import load_inference_model
 
@@ -336,16 +332,33 @@ class RetrievalService:
         idx = np.concatenate(idxs)
         return d, idx, self.paths[idx]
 
-    def query_files(self, image_paths: Sequence[str]):
+    def ingest_bytes(self, blobs: Sequence[bytes]) -> np.ndarray:
+        """Encoded image bytes (JPEG/PNG/...) -> the uint8 batch
+        query_arrays consumes — RGB [B,H,W,3], or packed YUV420
+        [B, 1.5*H*W] on the fast serving ingest. Pure host work (no
+        device dispatch), so callers may run it concurrently across
+        threads (inference/server.py decodes outside its dispatch
+        lock)."""
         size = tuple(self.cfg.INPUT.SIZE_TEST)
         from .utils import serving_ingest_format
 
         if self._qfn is None and serving_ingest_format(self.cfg) == "yuv420":
-            from ..data.transforms import load_and_pack_yuv420
+            from ..data.transforms import decode_and_pack_yuv420_bytes
 
-            imgs = np.stack(
-                [load_and_pack_yuv420(p, size) for p in image_paths]
+            return np.stack(
+                [decode_and_pack_yuv420_bytes(b, size) for b in blobs]
             )
-        else:
-            imgs = np.stack([load_and_resize(p, size) for p in image_paths])
-        return self.query_arrays(imgs)
+        from ..data.transforms import decode_and_resize_bytes
+
+        return np.stack([decode_and_resize_bytes(b, size) for b in blobs])
+
+    def query_bytes(self, blobs: Sequence[bytes]):
+        """Encoded image bytes -> (distances, indices, paths)."""
+        return self.query_arrays(self.ingest_bytes(blobs))
+
+    def query_files(self, image_paths: Sequence[str]):
+        def _read(p):
+            with open(p, "rb") as f:
+                return f.read()
+
+        return self.query_bytes([_read(p) for p in image_paths])

@@ -15,6 +15,7 @@ CLIS = [
     "train_base_model.py",
     "inference/create_embeddings.py",
     "inference/get_similar.py",
+    "inference/serve.py",
     "scripts/convert_to_jpg.py",
     "scripts/street2shop2coco.py",
     "scripts/street2shop_coco2reid.py",

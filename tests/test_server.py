@@ -1,0 +1,180 @@
+"""HTTP serving front-end (inference/server.py over RetrievalService).
+
+The reference has no online serving surface (offline CLIs only,
+/root/reference/inference/get_similar.py); these tests pin the TPU
+build's addition: JSON /search == the library query path, plus the
+error-handling contract.
+"""
+
+import base64
+import json
+import os
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from centroids_reid_tpu.config import get_default_cfg
+from centroids_reid_tpu.engine import CheckpointManager, create_train_state
+from centroids_reid_tpu.inference import build_embeddings
+from centroids_reid_tpu.models import create_model
+
+
+def _cfg(tmp_path):
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "resnet18"
+    cfg.USE_MIXED_PRECISION = False
+    cfg.INPUT.SIZE_TEST = [32, 16]
+    cfg.TEST.IMS_PER_BATCH = 8
+    cfg.TPU.NUM_GROUPS = 1
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    return cfg
+
+
+@pytest.fixture()
+def served(tmp_path):
+    """A running RetrievalHTTPServer over a 12-image gallery; yields
+    (server, service, query_dir, base_url)."""
+    rng = np.random.RandomState(0)
+    gallery = tmp_path / "gallery"
+    query = tmp_path / "query"
+    gallery.mkdir()
+    query.mkdir()
+    arrays = {}
+    for pid in ("prodA", "prodB", "prodC"):
+        for i in range(4):
+            arr = rng.randint(0, 255, (32, 16, 3), np.uint8)
+            name = f"{pid}_{i:02d}.jpg"
+            Image.fromarray(arr).save(gallery / name)
+            arrays[name] = arr
+    for name in ("prodA_01.jpg", "prodB_02.jpg", "prodC_00.jpg"):
+        Image.fromarray(arrays[name]).save(query / f"q_{name}")
+
+    cfg = _cfg(tmp_path)
+    model = create_model(cfg, num_classes=4)
+    state, _ = create_train_state(cfg, model, 4, seed=0)
+    mgr = CheckpointManager(str(tmp_path / "logs"))
+    mgr.save_periodic(0, state, cfg)
+    cfg.MODEL.PRETRAIN_PATH = mgr.latest_periodic()
+    cfg.DATASETS.ROOT_DIR = str(gallery)
+    emb, paths = build_embeddings(cfg, images_in_subfolders=False)
+
+    from centroids_reid_tpu.inference import RetrievalService
+    from centroids_reid_tpu.inference.server import RetrievalHTTPServer
+
+    # fp32 kernel: the bf16 Pallas selection is TPU-only (backend-gated
+    # off the CPU suite, ops/retrieval.py::_use_vmem_topk)
+    svc = RetrievalService(
+        cfg, emb, paths, k=5, normalize=True, use_bf16_kernel=False
+    )
+    server = RetrievalHTTPServer(svc, port=0).start_background()
+    try:
+        yield server, svc, str(query), f"http://127.0.0.1:{server.port}"
+    finally:
+        server.shutdown()
+
+
+def _post(url, obj):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post_err(url, data: bytes):
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz_and_search_match_library_path(served):
+    server, svc, query, base = served
+
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+        health = json.loads(r.read())
+    assert health == {
+        "status": "ok", "gallery_size": 12, "k": 5,
+        "ingest": "rgb", "model": "resnet18",
+    }
+
+    qfiles = sorted(os.path.join(query, f) for f in os.listdir(query))
+    blobs = [open(p, "rb").read() for p in qfiles]
+    status, out = _post(base + "/search", {
+        "images_b64": [base64.b64encode(b).decode() for b in blobs],
+    })
+    assert status == 200
+    assert len(out["results"]) == 3
+
+    d_lib, idx_lib, paths_lib = svc.query_files(qfiles)
+    for i, res in enumerate(out["results"]):
+        assert res["indices"] == [int(j) for j in idx_lib[i]]
+        assert res["paths"] == [str(p) for p in paths_lib[i]]
+        np.testing.assert_allclose(
+            res["distances"], d_lib[i], rtol=0, atol=1e-6
+        )
+        # queries are byte-identical gallery copies: top-1 is that image
+        expected = os.path.basename(qfiles[i])[2:]
+        assert os.path.basename(res["paths"][0]) == expected
+
+    # k narrows the response without a service rebuild
+    status, out2 = _post(base + "/search", {
+        "images_b64": [base64.b64encode(blobs[0]).decode()], "k": 2,
+    })
+    assert status == 200
+    assert len(out2["results"][0]["paths"]) == 2
+    assert out2["results"][0]["indices"] == out["results"][0]["indices"][:2]
+
+
+def test_error_contract(served):
+    server, svc, query, base = served
+
+    # unknown paths
+    try:
+        urllib.request.urlopen(base + "/nope", timeout=60)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    code, body = _post_err(base + "/nope", b"{}")
+    assert code == 404
+
+    # malformed JSON
+    code, body = _post_err(base + "/search", b"{not json")
+    assert code == 400 and "invalid JSON" in body["error"]
+    # non-object JSON
+    code, body = _post_err(base + "/search", b"[1,2]")
+    assert code == 400
+    # missing / empty images
+    code, body = _post_err(base + "/search", b"{}")
+    assert code == 400 and "images_b64" in body["error"]
+    code, body = _post_err(base + "/search", b'{"images_b64": []}')
+    assert code == 400
+    # invalid base64
+    code, body = _post_err(
+        base + "/search", b'{"images_b64": ["!!notb64!!"]}'
+    )
+    assert code == 400 and "base64" in body["error"]
+    # valid base64, undecodable image
+    junk = base64.b64encode(b"not an image").decode()
+    code, body = _post_err(
+        base + "/search",
+        json.dumps({"images_b64": [junk]}).encode(),
+    )
+    assert code == 400 and "undecodable" in body["error"]
+    # k out of range (service k=5)
+    img = open(os.path.join(query, sorted(os.listdir(query))[0]), "rb").read()
+    code, body = _post_err(
+        base + "/search",
+        json.dumps({
+            "images_b64": [base64.b64encode(img).decode()], "k": 6,
+        }).encode(),
+    )
+    assert code == 400 and "'k'" in body["error"]
