@@ -78,7 +78,9 @@ class RetrievalHTTPServer:
         if not isinstance(imgs_b64, list) or not imgs_b64:
             raise BadRequest("'images_b64' must be a non-empty list")
         k = payload.get("k", self.service.k)
-        if not isinstance(k, int) or not 1 <= k <= self.service.k:
+        # NB: bool is an int subclass — "k": true must not mean k=1
+        if (not isinstance(k, int) or isinstance(k, bool)
+                or not 1 <= k <= self.service.k):
             raise BadRequest(
                 f"'k' must be an int in [1, {self.service.k}] (the service"
                 " was built with k={}; rebuild it for deeper results)".format(

@@ -169,12 +169,44 @@ def test_error_contract(served):
         json.dumps({"images_b64": [junk]}).encode(),
     )
     assert code == 400 and "undecodable" in body["error"]
-    # k out of range (service k=5)
+    # k out of range (service k=5); JSON true is not a valid k either
     img = open(os.path.join(query, sorted(os.listdir(query))[0]), "rb").read()
-    code, body = _post_err(
-        base + "/search",
-        json.dumps({
-            "images_b64": [base64.b64encode(img).decode()], "k": 6,
-        }).encode(),
-    )
-    assert code == 400 and "'k'" in body["error"]
+    for bad_k in (6, 0, True):
+        code, body = _post_err(
+            base + "/search",
+            json.dumps({
+                "images_b64": [base64.b64encode(img).decode()], "k": bad_k,
+            }).encode(),
+        )
+        assert code == 400 and "'k'" in body["error"], bad_k
+
+
+def test_concurrent_requests_match_serial(served):
+    """ThreadingHTTPServer + the dispatch lock: concurrent POSTs must all
+    succeed and return exactly the serial answers."""
+    import threading
+
+    server, svc, query, base = served
+    qfiles = sorted(os.path.join(query, f) for f in os.listdir(query))
+    payloads = [
+        {"images_b64": [base64.b64encode(open(p, "rb").read()).decode()]}
+        for p in qfiles
+    ] * 3                                   # 9 in-flight requests
+    serial = [_post(base + "/search", p)[1] for p in payloads]
+
+    results = [None] * len(payloads)
+
+    def worker(i):
+        results[i] = _post(base + "/search", payloads[i])
+
+    threads = [
+        threading.Thread(target=worker, args=(i,))
+        for i in range(len(payloads))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    for (status, out), expect in zip(results, serial):
+        assert status == 200
+        assert out == expect
