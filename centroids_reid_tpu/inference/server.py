@@ -157,20 +157,25 @@ def _make_handler(server: RetrievalHTTPServer):
             return self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/search":
-                return self._reply(404, {"error": f"unknown path {self.path}"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
             except ValueError:
                 n = -1
-            if n <= 0:
-                return self._reply(400, {"error": "missing request body"})
             if n > MAX_BODY_BYTES:
+                # oversized: close instead of draining gigabytes
+                self.close_connection = True
                 return self._reply(
                     413, {"error": f"body exceeds {MAX_BODY_BYTES} bytes"}
                 )
+            # always drain the body before replying — an unread body would
+            # desync the next request on a kept-alive connection
+            body = self.rfile.read(n) if n > 0 else b""
+            if self.path != "/search":
+                return self._reply(404, {"error": f"unknown path {self.path}"})
+            if n <= 0:
+                return self._reply(400, {"error": "missing request body"})
             try:
-                payload = json.loads(self.rfile.read(n))
+                payload = json.loads(body)
                 if not isinstance(payload, dict):
                     raise BadRequest("body must be a JSON object")
                 return self._reply(200, server.search(payload))

@@ -181,6 +181,36 @@ def test_error_contract(served):
         assert code == 400 and "'k'" in body["error"], bad_k
 
 
+def test_keepalive_connection_survives_errors(served):
+    """HTTP/1.1 keep-alive: a 404'd POST (body must be drained) followed by
+    a valid /search on the SAME connection must still work."""
+    import http.client
+
+    server, svc, query, base = served
+    img = open(os.path.join(query, sorted(os.listdir(query))[0]), "rb").read()
+    good = json.dumps(
+        {"images_b64": [base64.b64encode(img).decode()]}
+    ).encode()
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+    try:
+        conn.request("POST", "/nope", body=good)
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+        conn.request("POST", "/search", body=b"{not json")
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        conn.request("POST", "/search", body=good)
+        r = conn.getresponse()
+        assert r.status == 200
+        out = json.loads(r.read())
+        assert len(out["results"][0]["paths"]) == 5
+    finally:
+        conn.close()
+
+
 def test_concurrent_requests_match_serial(served):
     """ThreadingHTTPServer + the dispatch lock: concurrent POSTs must all
     succeed and return exactly the serial answers."""
