@@ -191,9 +191,10 @@ def _make_handler(server: RetrievalHTTPServer):
     return Handler
 
 
-def main(argv=None):
-    """CLI: serve a previously built gallery (create_embeddings artifacts:
-    <gallery_data>/embeddings.npy + paths.npy) over HTTP."""
+def build_from_args(argv=None) -> RetrievalHTTPServer:
+    """CLI construction: load a previously built gallery (create_embeddings
+    artifacts: <gallery_data>/embeddings.npy + paths.npy) into a bound,
+    not-yet-serving RetrievalHTTPServer."""
     import argparse
 
     from ..config import get_default_cfg
@@ -241,10 +242,33 @@ def main(argv=None):
         if jax.device_count() >= 2:
             mesh = make_retrieval_mesh()
 
+    calib = None
+    if cfg.TPU.INT8_EVAL:
+        # int8 PTQ embed stage: calibrate on a sample of the gallery's own
+        # images (the query domain); requires the indexed image files to be
+        # readable on this host
+        from ..data.transforms import load_and_resize
+
+        size = tuple(cfg.INPUT.SIZE_TEST)
+        sample = [str(p) for p in paths[:64]]
+        try:
+            calib = np.stack([load_and_resize(p, size) for p in sample])
+        except OSError as e:
+            raise SystemExit(
+                f"TPU.INT8_EVAL needs the gallery images on this host to "
+                f"calibrate (failed on {e}); serve without the flag or "
+                f"run from a machine that sees the indexed files"
+            )
+
     service = RetrievalService(
         cfg, emb, paths, k=args.topk,
         normalize=args.normalize_features,
         use_bf16_kernel=not args.fp32_exact,
         mesh=mesh,
+        int8_calib_imgs=calib,
     )
-    RetrievalHTTPServer(service, args.host, args.port).serve_forever()
+    return RetrievalHTTPServer(service, args.host, args.port)
+
+
+def main(argv=None):
+    build_from_args(argv).serve_forever()

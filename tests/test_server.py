@@ -211,6 +211,59 @@ def test_keepalive_connection_survives_errors(served):
         conn.close()
 
 
+def test_cli_build_serves_index_artifacts(tmp_path):
+    """build_from_args: the serve.py CLI path loads create_embeddings
+    artifacts, honours --topk/--normalize_features/opts, and (with
+    TPU.INT8_EVAL) self-calibrates the int8 embed stage on the indexed
+    gallery images."""
+    rng = np.random.RandomState(1)
+    gallery = tmp_path / "gallery"
+    gallery.mkdir()
+    for pid in ("a", "b"):
+        for i in range(4):
+            Image.fromarray(
+                rng.randint(0, 255, (32, 16, 3), np.uint8)
+            ).save(gallery / f"{pid}_{i}.jpg")
+
+    cfg = _cfg(tmp_path)
+    model = create_model(cfg, num_classes=4)
+    state, _ = create_train_state(cfg, model, 4, seed=0)
+    mgr = CheckpointManager(str(tmp_path / "logs"))
+    mgr.save_periodic(0, state, cfg)
+    ckpt = mgr.latest_periodic()
+    cfg.MODEL.PRETRAIN_PATH = ckpt
+    cfg.DATASETS.ROOT_DIR = str(gallery)
+    build_embeddings(cfg, images_in_subfolders=False)  # writes the index
+
+    from centroids_reid_tpu.inference.server import build_from_args
+
+    server = build_from_args([
+        "--gallery_data", cfg.OUTPUT_DIR,
+        "--port", "0", "--topk", "4", "--normalize_features",
+        "--fp32_exact",
+        "MODEL.NAME", "resnet18", "USE_MIXED_PRECISION", "False",
+        "INPUT.SIZE_TEST", "[32,16]", "TEST.IMS_PER_BATCH", "8",
+        "TPU.NUM_GROUPS", "1",
+        "MODEL.PRETRAIN_PATH", ckpt,
+        "TPU.INT8_EVAL", "True", "TPU.INT8_CALIB_BATCHES", "1",
+    ]).start_background()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["gallery_size"] == 8 and health["k"] == 4
+        assert health["ingest"] == "rgb"   # int8 serving consumes RGB
+        img = open(gallery / "a_2.jpg", "rb").read()
+        status, out = _post(base + "/search", {
+            "images_b64": [base64.b64encode(img).decode()],
+        })
+        assert status == 200
+        # int8 embed of a byte-identical gallery image still ranks it first
+        assert os.path.basename(out["results"][0]["paths"][0]) == "a_2.jpg"
+    finally:
+        server.shutdown()
+
+
 def test_concurrent_requests_match_serial(served):
     """ThreadingHTTPServer + the dispatch lock: concurrent POSTs must all
     succeed and return exactly the serial answers."""
