@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""HTTP serving overhead: POST /search round-trip vs the direct library
+call (inference/server.py over RetrievalService).
+
+Both paths run the SAME one-dispatch device program on the same payload,
+so the paired difference isolates what the HTTP layer adds: JSON+base64
+parse, request decode, the dispatch lock, and response serialisation.
+Wall-clock p50s are reported per path (the dev tunnel's ~45 ms dispatch
+RTT sits in both and cancels in the difference).
+"""
+
+import argparse
+import base64
+import io
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import numpy as np
+from PIL import Image
+
+from centroids_reid_tpu.config import get_default_cfg
+from centroids_reid_tpu.inference.server import RetrievalHTTPServer
+from centroids_reid_tpu.inference.service import RetrievalService
+from centroids_reid_tpu.models import create_model, init_model
+
+
+def _p50(fn, reps):
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--gallery", type=int, default=100_000)
+    p.add_argument("--queries", type=int, default=8)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--reps", type=int, default=30)
+    p.add_argument("--fp32_exact", action="store_true")
+    args = p.parse_args()
+
+    cfg = get_default_cfg()
+    cfg.INPUT.SIZE_TEST = [64, 32]
+    model = create_model(cfg, num_classes=0)
+    params, stats = init_model(model, jax.random.PRNGKey(0), (64, 32))
+
+    rng = np.random.RandomState(1)
+    emb = rng.randn(args.gallery, 2048).astype(np.float32)
+    paths = np.array([f"g{i}" for i in range(args.gallery)])
+    svc = RetrievalService(
+        cfg, emb, paths, k=args.k, normalize=True,
+        use_bf16_kernel=not args.fp32_exact,
+        model_bundle=(model, params, stats),
+    )
+
+    blobs = []
+    for i in range(args.queries):
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.randint(0, 256, (64, 32, 3), np.uint8)
+        ).save(buf, format="JPEG")
+        blobs.append(buf.getvalue())
+    payload = json.dumps(
+        {"images_b64": [base64.b64encode(b).decode() for b in blobs]}
+    ).encode()
+
+    server = RetrievalHTTPServer(svc, port=0).start_background()
+    url = f"http://127.0.0.1:{server.port}/search"
+
+    def http_call():
+        req = urllib.request.Request(
+            url, data=payload, headers={"Content-Type": "application/json"}
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+            r.read()
+
+    def direct_call():
+        svc.query_bytes(blobs)
+
+    # warm both (compile + first-dispatch)
+    direct_call()
+    http_call()
+
+    direct = _p50(direct_call, args.reps)
+    http = _p50(http_call, args.reps)
+    server.shutdown()
+
+    print(json.dumps({
+        "gallery": args.gallery, "queries": args.queries, "k": args.k,
+        "kernel": "fp32_exact" if args.fp32_exact else "bf16",
+        "direct_p50_ms": round(direct * 1e3, 3),
+        "http_p50_ms": round(http * 1e3, 3),
+        "http_overhead_ms": round((http - direct) * 1e3, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
