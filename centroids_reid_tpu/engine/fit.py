@@ -356,6 +356,23 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
                     f"({epoch_metrics['epoch_time_s']:.1f}s)"
                 )
 
+            # collective stop decision FIRST — before the (possibly
+            # minutes-long) periodic validation, so the reclaimer's grace
+            # window is spent on the save, not an eval. Every process
+            # polls at this same point, so a SIGTERM delivered to ANY
+            # host stops ALL of them at the same epoch (no process left
+            # inside the next epoch's collectives).
+            if guard.should_stop(n_proc):
+                ckpt.save_periodic(epoch, state, cfg)
+                preempted = True
+                if is_main:
+                    print(
+                        f"Preemption signal received — saved "
+                        f"checkpoint_epoch{epoch}, stopping cleanly. Resume "
+                        f"with MODEL.RESUME_TRAINING True MODEL.PRETRAIN_PATH "
+                        f"<auto_checkpoints/checkpoint_epoch{epoch}>"
+                    )
+                break
             if (epoch + 1) % cfg.SOLVER.EVAL_PERIOD == 0:
                 val = run_validation(
                     cfg, model, _local_view(state.params["model"]),
@@ -367,25 +384,8 @@ def fit(cfg, mode: str, log_dir: str, seed: int = 0,
                 ckpt.save_if_best(
                     epoch, state, val[cfg.SOLVER.MONITOR_METRIC_NAME], cfg
                 )
-            saved_ring = (epoch + 1) % cfg.TPU.PERIODIC_CHECKPOINT_INTERVAL == 0
-            if saved_ring:
+            if (epoch + 1) % cfg.TPU.PERIODIC_CHECKPOINT_INTERVAL == 0:
                 ckpt.save_periodic(epoch, state, cfg)
-            # collective stop decision: every process polls at this same
-            # point, so a SIGTERM delivered to ANY host stops ALL of them
-            # at the same epoch (no process left inside the next epoch's
-            # collectives)
-            if guard.should_stop(n_proc):
-                if not saved_ring:
-                    ckpt.save_periodic(epoch, state, cfg)
-                preempted = True
-                if is_main:
-                    print(
-                        f"Preemption signal received — saved "
-                        f"checkpoint_epoch{epoch}, stopping cleanly. Resume "
-                        f"with MODEL.RESUME_TRAINING True MODEL.PRETRAIN_PATH "
-                        f"<auto_checkpoints/checkpoint_epoch{epoch}>"
-                    )
-                break
 
     # end-of-training double test, both eval modes (misc.py:159-161) —
     # skipped on preemption (the grace window is for the save, not a full

@@ -59,17 +59,12 @@ class RetrievalHTTPServer:
 
     # -- request work (called from handler threads) -----------------------
     def health(self) -> dict:
-        from .utils import serving_ingest_format
-
         svc = self.service
         return {
             "status": "ok",
             "gallery_size": int(len(svc.paths)),
             "k": int(svc.k),
-            "ingest": (
-                "rgb" if svc._qfn is not None
-                else serving_ingest_format(svc.cfg)
-            ),
+            "ingest": svc.ingest_format,
             "model": svc.cfg.MODEL.NAME,
         }
 
@@ -139,6 +134,10 @@ class BadRequest(ValueError):
 def _make_handler(server: RetrievalHTTPServer):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # a client that stalls mid-request must not pin a handler thread
+        # (and its body buffer) forever — reads time out and the
+        # connection closes
+        timeout = 120
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -157,10 +156,21 @@ def _make_handler(server: RetrievalHTTPServer):
             return self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            # bodies we cannot (chunked Transfer-Encoding) or will not
+            # (invalid Content-Length) drain would desync a kept-alive
+            # connection — 411 and close it
+            chunked = "chunked" in (
+                self.headers.get("Transfer-Encoding") or ""
+            ).lower()
             try:
                 n = int(self.headers.get("Content-Length", 0))
-            except ValueError:
+            except (ValueError, TypeError):
                 n = -1
+            if chunked or n < 0:
+                self.close_connection = True
+                return self._reply(
+                    411, {"error": "Content-Length required"}
+                )
             if n > MAX_BODY_BYTES:
                 # oversized: close instead of draining gigabytes
                 self.close_connection = True
@@ -172,7 +182,7 @@ def _make_handler(server: RetrievalHTTPServer):
             body = self.rfile.read(n) if n > 0 else b""
             if self.path != "/search":
                 return self._reply(404, {"error": f"unknown path {self.path}"})
-            if n <= 0:
+            if n == 0:
                 return self._reply(400, {"error": "missing request body"})
             try:
                 payload = json.loads(body)
@@ -242,30 +252,38 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
         if jax.device_count() >= 2:
             mesh = make_retrieval_mesh()
 
-    calib = None
-    if cfg.TPU.INT8_EVAL:
-        # int8 PTQ embed stage: calibrate on a sample of the gallery's own
-        # images (the query domain); requires the indexed image files to be
-        # readable on this host
-        from ..data.transforms import load_and_resize
+    from .api import load_inference_model
 
-        size = tuple(cfg.INPUT.SIZE_TEST)
-        sample = [str(p) for p in paths[:64]]
+    bundle = load_inference_model(cfg)
+    qfn = None
+    if cfg.TPU.INT8_EVAL:
+        # int8 PTQ embed stage through the SAME cfg-driven flow as the
+        # other int8 surfaces (models/quantized.quantize_for_serving):
+        # INT8_CACHE_PATH artifact load/validate, else self-calibration on
+        # the leading TPU.INT8_CALIB_BATCHES of the gallery's own images
+        # (the query domain) — which requires the indexed files to be
+        # readable on this host
+        from ..data.datasets import Record
+        from ..models.quantized import quantize_for_serving
+
+        records = [Record(str(p), 0, 0, i) for i, p in enumerate(paths)]
         try:
-            calib = np.stack([load_and_resize(p, size) for p in sample])
+            qfn = quantize_for_serving(cfg, *bundle, records)
         except OSError as e:
             raise SystemExit(
                 f"TPU.INT8_EVAL needs the gallery images on this host to "
-                f"calibrate (failed on {e}); serve without the flag or "
-                f"run from a machine that sees the indexed files"
+                f"calibrate (failed on {e}); serve without the flag, set "
+                f"TPU.INT8_CACHE_PATH to a saved artifact, or run from a "
+                f"machine that sees the indexed files"
             )
 
     service = RetrievalService(
         cfg, emb, paths, k=args.topk,
         normalize=args.normalize_features,
         use_bf16_kernel=not args.fp32_exact,
+        model_bundle=bundle,
         mesh=mesh,
-        int8_calib_imgs=calib,
+        int8_qfn=qfn,
     )
     return RetrievalHTTPServer(service, args.host, args.port)
 

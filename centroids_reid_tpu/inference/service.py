@@ -80,10 +80,15 @@ class RetrievalService:
         mesh=None,
         max_query_batch: int = 512,
         exact_rescore: bool = True,
+        int8_qfn=None,
     ):
         """``int8_calib_imgs``: uint8 [N,H,W,3] sample of the query domain;
         when given, the embed stage runs the int8 PTQ path
-        (models/quantized.py) inside the same single-dispatch program."""
+        (models/quantized.py) inside the same single-dispatch program.
+        ``int8_qfn``: alternatively, a prebuilt QuantizedEmbed (e.g. from
+        the cfg-driven ``quantize_for_serving`` flow with its
+        INT8_CACHE_PATH artifact reuse) — takes precedence over
+        ``int8_calib_imgs``."""
         self.cfg = cfg
         self.k = int(min(k, len(gallery_paths)))
         self.normalize = normalize
@@ -144,7 +149,12 @@ class RetrievalService:
         # the irreducible minimum for one dispatch.
         if not (use_bf16_kernel and self.k <= 32):
             width = self._shard_rows if self.mesh is not None else gf.shape[0]
-            cap = max(128, (_SCORE_BUDGET_BYTES // (width * 4)) // 128 * 128)
+            # max(width, 1): an empty gallery (index built before any data
+            # arrived) must still construct — its score matrix is 0-wide
+            cap = max(
+                128,
+                (_SCORE_BUDGET_BYTES // (max(width, 1) * 4)) // 128 * 128,
+            )
             self.max_query_batch = min(self.max_query_batch, cap)
 
         mean = tuple(cfg.INPUT.PIXEL_MEAN)
@@ -154,8 +164,8 @@ class RetrievalService:
         k_eff = self.k
         do_norm = normalize
 
-        self._qfn = None
-        if int8_calib_imgs is not None:
+        self._qfn = int8_qfn
+        if self._qfn is None and int8_calib_imgs is not None:
             from ..models.quantized import quantize_reid_model
 
             self._qfn = quantize_reid_model(
@@ -332,6 +342,18 @@ class RetrievalService:
         idx = np.concatenate(idxs)
         return d, idx, self.paths[idx]
 
+    @property
+    def ingest_format(self) -> str:
+        """'rgb' or 'yuv420' — the ONE ingest decision shared by
+        query_files/query_bytes and the HTTP server's /healthz: int8
+        serving consumes uint8 RGB directly; otherwise TPU.FAST_DECODE
+        selects the packed-YUV420 serving wire format."""
+        from .utils import serving_ingest_format
+
+        if self._qfn is not None:
+            return "rgb"
+        return serving_ingest_format(self.cfg)
+
     def ingest_bytes(self, blobs: Sequence[bytes]) -> np.ndarray:
         """Encoded image bytes (JPEG/PNG/...) -> the uint8 batch
         query_arrays consumes — RGB [B,H,W,3], or packed YUV420
@@ -340,9 +362,7 @@ class RetrievalService:
         threads (inference/server.py decodes outside its dispatch
         lock)."""
         size = tuple(self.cfg.INPUT.SIZE_TEST)
-        from .utils import serving_ingest_format
-
-        if self._qfn is None and serving_ingest_format(self.cfg) == "yuv420":
+        if self.ingest_format == "yuv420":
             from ..data.transforms import decode_and_pack_yuv420_bytes
 
             return np.stack(

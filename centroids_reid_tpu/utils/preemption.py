@@ -11,11 +11,12 @@ into a clean epoch-boundary save it can resume from
 Semantics:
 
 - First signal: a flag is set; ``fit`` observes it at the next epoch
-  boundary (epochs are seconds-scale on the device-resident path), saves
-  a ring checkpoint for the finished epoch, skips the end-of-training
-  double test, and returns with ``metrics["preempted"] = 1.0``. The
-  multi-run loop (engine/runner.run_main) stops submitting further
-  seeds.
+  boundary (epochs are seconds-scale on the device-resident path),
+  saves a ring checkpoint for the finished epoch BEFORE any periodic
+  validation (the grace window is for the save), skips the
+  end-of-training double test, and returns with
+  ``metrics["preempted"] = 1.0``. The multi-run loop
+  (engine/runner.run_main) stops submitting further seeds.
 - Second signal: the original disposition was restored when the first
   one fired, so a repeated SIGTERM terminates immediately — the
   operator's escalation path is never blocked by the graceful machinery.
@@ -47,9 +48,17 @@ class PreemptionGuard:
     are restored on exit, so nested/sequential ``fit`` calls in one
     process (tests, multi-run loops) never leak dispositions.
 
+    ``enabled`` must be a value that is IDENTICAL on every process of a
+    multi-host job (it comes from the shared config): when False,
+    ``should_stop`` returns False without any collective, which is only
+    symmetric if every process took the same branch.
+
     Signal handlers can only be installed from the main thread; when
-    entered from a worker thread (some test harnesses) the guard
-    degrades to enabled=False rather than raising.
+    entered from a worker thread (some test harnesses) installation is
+    skipped for THIS process only — its flag just stays False. The
+    collective in ``should_stop`` still runs, so peers whose handlers
+    did install keep their symmetric allgather partner and a signal on
+    any main-thread process still stops the whole job.
     """
 
     def __init__(
@@ -59,6 +68,7 @@ class PreemptionGuard:
     ):
         self.signals = tuple(sigs)
         self.enabled = bool(enabled)
+        self.installed = False
         self._flag = False
         self._previous: dict = {}
 
@@ -67,10 +77,10 @@ class PreemptionGuard:
         if not self.enabled:
             return self
         if threading.current_thread() is not threading.main_thread():
-            self.enabled = False  # signal.signal would raise ValueError
-            return self
+            return self  # signal.signal would raise ValueError
         for s in self.signals:
             self._previous[s] = signal.signal(s, self._handle)
+        self.installed = True
         return self
 
     def __exit__(self, *exc) -> None:
@@ -85,6 +95,7 @@ class PreemptionGuard:
             except (ValueError, TypeError):  # pragma: no cover
                 pass
         self._previous.clear()
+        self.installed = False
 
     def _handle(self, signum, frame) -> None:
         self._flag = True
@@ -105,9 +116,13 @@ class PreemptionGuard:
     def should_stop(self, process_count: Optional[int] = None) -> bool:
         """Global stop decision; a collective when the job is multi-host.
 
-        Every process MUST call this at the same program point (the fit
-        epoch boundary) — it allgathers the local flags so a signal
-        delivered to ANY process stops ALL of them in lockstep.
+        Every process for which the feature is ``enabled`` MUST call
+        this at the same program point (the fit epoch boundary) — it
+        allgathers the local flags so a signal delivered to ANY process
+        stops ALL of them in lockstep. A process whose handler could not
+        install (worker thread) still participates with a constant
+        False flag; only ``enabled=False`` (config-off, identical
+        everywhere) skips the collective.
         """
         if not self.enabled:
             return False

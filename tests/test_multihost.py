@@ -338,7 +338,9 @@ cfg.INPUT.SIZE_TRAIN = [32, 16]
 cfg.INPUT.SIZE_TEST = [32, 16]
 cfg.SOLVER.IMS_PER_BATCH = 2
 cfg.SOLVER.MAX_EPOCHS = 30          # would be a long run if not stopped
-cfg.SOLVER.EVAL_PERIOD = 100        # no eval before the preemption
+cfg.SOLVER.EVAL_PERIOD = 3          # epoch 2's boundary WOULD eval — the
+                                    # stop decision must come first (the
+                                    # grace window is for the save)
 cfg.TEST.IMS_PER_BATCH = 16
 cfg.MODEL.USE_CENTROIDS = True
 cfg.DATALOADER.USE_RESAMPLING = False
@@ -384,3 +386,10 @@ def test_two_process_preemption_collective_stop(tmp_path):
             if d.startswith("checkpoint_epoch")
             and os.path.isdir(log_dir / "auto_checkpoints" / d)]
     assert ring == ["checkpoint_epoch2"], ring
+    # epoch 2's boundary eval (EVAL_PERIOD=3) must have been skipped: the
+    # stop poll runs BEFORE the periodic validation, so the grace window
+    # went to the save — no validation metrics were ever logged
+    jsonl = (log_dir / "train" / "metrics.jsonl").read_text()
+    # '"mAP"' = a logged METRIC key; the config dump in the params record
+    # mentions mAP unquoted (MONITOR_METRIC_NAME)
+    assert '"mAP"' not in jsonl, jsonl[-500:]

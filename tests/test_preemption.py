@@ -64,8 +64,11 @@ def test_guard_disabled_is_inert():
 
 
 def test_guard_degrades_off_main_thread():
-    """signal.signal raises off the main thread; the guard must degrade to
-    disabled instead (some harnesses run fit() in worker threads)."""
+    """signal.signal raises off the main thread; the guard must skip
+    installation for that process (some harnesses run fit() in worker
+    threads) while KEEPING enabled=True — on multi-host the degraded
+    process must still take the collective branch of should_stop, or a
+    healthy job would hang with peers waiting in the allgather."""
     from centroids_reid_tpu.utils import PreemptionGuard
 
     result = {}
@@ -74,12 +77,13 @@ def test_guard_degrades_off_main_thread():
         g = PreemptionGuard()
         with g:
             result["enabled"] = g.enabled
+            result["installed"] = g.installed
             result["stop"] = g.should_stop(process_count=1)
 
     t = threading.Thread(target=enter)
     t.start()
     t.join(10)
-    assert result == {"enabled": False, "stop": False}
+    assert result == {"enabled": True, "installed": False, "stop": False}
 
 
 # --- end-to-end: CLI run preempted mid-training, then resumed --------------

@@ -211,6 +211,36 @@ def test_keepalive_connection_survives_errors(served):
         conn.close()
 
 
+def test_chunked_transfer_encoding_is_rejected(served):
+    """A chunked POST has no Content-Length to drain by — the server must
+    411 and close the connection rather than desync it. Raw socket: the
+    whole request (headers + chunked body) is written before reading, so
+    the server's early close cannot race the client's writes."""
+    import socket
+
+    server, svc, query, base = served
+    payload = b'{"images_b64": []}'
+    req = (
+        b"POST /search HTTP/1.1\r\nHost: t\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        + hex(len(payload))[2:].encode() + b"\r\n" + payload + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    with socket.create_connection(
+        ("127.0.0.1", server.port), timeout=60
+    ) as s:
+        s.sendall(req)
+        resp = b""
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break  # server closed — the point of the test
+            resp += chunk
+    status_line = resp.split(b"\r\n", 1)[0]
+    assert b"411" in status_line, resp[:200]
+    assert b"Content-Length required" in resp
+
+
 def test_cli_build_serves_index_artifacts(tmp_path):
     """build_from_args: the serve.py CLI path loads create_embeddings
     artifacts, honours --topk/--normalize_features/opts, and (with
