@@ -25,6 +25,16 @@ dispatch boundary (not in the XLA client) keeps latency predictable.
 Gallery mutation is intentionally absent: the gallery is a device-
 resident immutable index (rebuild + swap the service to update, the
 same lifecycle as the reference's create_embeddings artifacts).
+
+Dynamic batching (``batch_window_ms > 0``): concurrent requests coalesce
+into ONE device dispatch. The dispatch path (tunnel or PCIe) carries a
+fixed per-program latency (~45 ms through the dev tunnel, dominated by
+the RTT, not the batch), so under concurrent load one [ΣB] program is
+strictly cheaper than N serial [B] programs — the standard
+serving-system trade (a bounded wait buys dispatch amortisation). A
+request joins the open window and waits at most ``batch_window_ms``
+beyond the in-flight dispatch; single-request traffic with the window
+at 0 (default) keeps the direct one-request-one-dispatch path.
 """
 
 from __future__ import annotations
@@ -33,11 +43,79 @@ import base64
 import binascii
 import json
 import threading
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 MAX_BODY_BYTES = 256 << 20  # one POST; ~256 queries of phone-camera JPEGs
+
+
+class _DynamicBatcher:
+    """Coalesces concurrent query batches into single device dispatches.
+
+    Requests enqueue (imgs, Future); a worker drains the queue — it
+    blocks on the first entry, then keeps collecting until ``max_batch``
+    rows are staged or ``window_ms`` passed since the first entry — and
+    runs ONE ``service.query_arrays`` over the concatenated rows, then
+    splits the results back per request. FIFO order; a request larger
+    than ``max_batch`` still dispatches (alone) — query_arrays chunks it
+    internally against the score budget.
+    """
+
+    def __init__(self, service, window_ms: float = 2.0,
+                 max_batch: int = 256):
+        import queue
+
+        self.service = service
+        self.window_s = float(window_ms) / 1e3
+        self.max_batch = int(max_batch)
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, imgs: np.ndarray):
+        fut: Future = Future()
+        self._q.put((imgs, fut))
+        return fut.result()
+
+    def _worker(self):
+        import queue
+        import time
+
+        while True:
+            imgs, fut = self._q.get()  # block for the first request
+            staged = [(imgs, fut)]
+            rows = imgs.shape[0]
+            deadline = time.monotonic() + self.window_s
+            while rows < self.max_batch:
+                budget = deadline - time.monotonic()
+                if budget <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=budget)
+                except queue.Empty:
+                    break
+                staged.append(nxt)
+                rows += nxt[0].shape[0]
+            try:
+                batch = (
+                    staged[0][0] if len(staged) == 1
+                    else np.concatenate([s[0] for s in staged])
+                )
+                d, idx, paths = self.service.query_arrays(batch)
+                off = 0
+                for s_imgs, s_fut in staged:
+                    n = s_imgs.shape[0]
+                    s_fut.set_result(
+                        (d[off:off + n], idx[off:off + n],
+                         paths[off:off + n])
+                    )
+                    off += n
+            except Exception as e:  # pragma: no cover — defensive
+                for _, s_fut in staged:
+                    if not s_fut.done():
+                        s_fut.set_exception(e)
 
 
 class RetrievalHTTPServer:
@@ -48,9 +126,14 @@ class RetrievalHTTPServer:
     returns; ``shutdown()`` stops it.
     """
 
-    def __init__(self, service, host: str = "127.0.0.1", port: int = 8000):
+    def __init__(self, service, host: str = "127.0.0.1", port: int = 8000,
+                 batch_window_ms: float = 0.0, max_batch: int = 256):
         self.service = service
         self._dispatch_lock = threading.Lock()
+        self._batcher = (
+            _DynamicBatcher(service, batch_window_ms, max_batch)
+            if batch_window_ms > 0 else None
+        )
         self._thread = None
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
@@ -92,8 +175,13 @@ class RetrievalHTTPServer:
             imgs = self.service.ingest_bytes(blobs)
         except Exception as e:
             raise BadRequest(f"undecodable image: {e}")
-        with self._dispatch_lock:
-            d, idx, paths = self.service.query_arrays(imgs)
+        if self._batcher is not None:
+            # dynamic batching: this request's rows join the open window
+            # and come back from a coalesced dispatch
+            d, idx, paths = self._batcher.submit(imgs)
+        else:
+            with self._dispatch_lock:
+                d, idx, paths = self.service.query_arrays(imgs)
         return {
             "results": [
                 {
@@ -229,6 +317,15 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
         "--fp32_exact", action="store_true",
         help="fp32 selection kernel (default: bf16 select + exact re-score)",
     )
+    parser.add_argument(
+        "--batch_window_ms", type=float, default=0.0,
+        help="dynamic batching: coalesce concurrent requests arriving "
+             "within this window into one device dispatch (0 = off)",
+    )
+    parser.add_argument(
+        "--max_batch", type=int, default=256,
+        help="dynamic batching: max coalesced rows per dispatch",
+    )
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args(argv)
 
@@ -285,7 +382,10 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
         mesh=mesh,
         int8_qfn=qfn,
     )
-    return RetrievalHTTPServer(service, args.host, args.port)
+    return RetrievalHTTPServer(
+        service, args.host, args.port,
+        batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+    )
 
 
 def main(argv=None):

@@ -33,10 +33,12 @@ def _cfg(tmp_path):
     return cfg
 
 
-@pytest.fixture()
-def served(tmp_path):
+@pytest.fixture(params=[0.0, 300.0], ids=["direct", "batched"])
+def served(tmp_path, request):
     """A running RetrievalHTTPServer over a 12-image gallery; yields
-    (server, service, query_dir, base_url)."""
+    (server, service, query_dir, base_url). Parametrised over dynamic
+    batching off/on — every endpoint contract must hold identically when
+    requests coalesce into shared dispatches."""
     rng = np.random.RandomState(0)
     gallery = tmp_path / "gallery"
     query = tmp_path / "query"
@@ -69,7 +71,9 @@ def served(tmp_path):
     svc = RetrievalService(
         cfg, emb, paths, k=5, normalize=True, use_bf16_kernel=False
     )
-    server = RetrievalHTTPServer(svc, port=0).start_background()
+    server = RetrievalHTTPServer(
+        svc, port=0, batch_window_ms=request.param
+    ).start_background()
     try:
         yield server, svc, str(query), f"http://127.0.0.1:{server.port}"
     finally:
@@ -211,6 +215,67 @@ def test_keepalive_connection_survives_errors(served):
         conn.close()
 
 
+def test_dynamic_batching_coalesces_dispatches(served):
+    """With the window open, concurrent requests must share device
+    dispatches (fewer query_arrays calls than requests, at least one
+    multi-request batch) and still return their own correct results."""
+    import threading
+
+    server, svc, query, base = served
+    if server._batcher is None:
+        pytest.skip("direct variant has no batcher")
+
+    calls = []
+    orig = svc.query_arrays
+
+    def counting(imgs):
+        calls.append(imgs.shape[0])
+        return orig(imgs)
+
+    svc.query_arrays = counting
+    try:
+        qfiles = sorted(os.path.join(query, f) for f in os.listdir(query))
+        payloads = [
+            {"images_b64": [
+                base64.b64encode(open(p, "rb").read()).decode()
+            ]}
+            for p in qfiles
+        ] * 2                                  # 6 concurrent single-image
+        _post(base + "/search", payloads[0])   # warm (compile out of band)
+        calls.clear()
+
+        results = [None] * len(payloads)
+
+        def worker(i):
+            results[i] = _post(base + "/search", payloads[i])
+
+        threads = [
+            threading.Thread(target=worker, args=(i,))
+            for i in range(len(payloads))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+    finally:
+        svc.query_arrays = orig
+
+    assert len(calls) < len(payloads), calls   # coalescing happened
+    assert max(calls) > 1, calls               # ...into a real multi-batch
+    assert sum(calls) == len(payloads)         # every row dispatched once
+    # and each request still got ITS result: top-1 = its own gallery twin
+    for (status, out), p in zip(results, payloads * 1):
+        assert status == 200
+    for i, (status, out) in enumerate(results):
+        qpath = (sorted(
+            os.path.join(query, f) for f in os.listdir(query)
+        ) * 2)[i]
+        expected = os.path.basename(qpath)[2:]
+        assert os.path.basename(
+            out["results"][0]["paths"][0]
+        ) == expected
+
+
 def test_chunked_transfer_encoding_is_rejected(served):
     """A chunked POST has no Content-Length to drain by — the server must
     411 and close the connection rather than desync it. Raw socket: the
@@ -322,4 +387,12 @@ def test_concurrent_requests_match_serial(served):
         t.join(120)
     for (status, out), expect in zip(results, serial):
         assert status == 200
-        assert out == expect
+        for got_r, exp_r in zip(out["results"], expect["results"]):
+            # under dynamic batching the coalesced dispatch compiles a
+            # different batch shape — float noise at ~1e-7 on distances;
+            # the ranking itself must be identical
+            assert got_r["indices"] == exp_r["indices"]
+            assert got_r["paths"] == exp_r["paths"]
+            np.testing.assert_allclose(
+                got_r["distances"], exp_r["distances"], rtol=0, atol=1e-5
+            )
