@@ -135,20 +135,32 @@ class RetrievalHTTPServer:
             if batch_window_ms > 0 else None
         )
         self._thread = None
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests": 0, "images": 0, "errors": 0}
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
         self.host, self.port = self.httpd.server_address[:2]
 
     # -- request work (called from handler threads) -----------------------
+    def count(self, images: int = 0, error: bool = False):
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._stats["images"] += images
+            self._stats["errors"] += int(error)
+
     def health(self) -> dict:
         svc = self.service
+        with self._stats_lock:
+            stats = dict(self._stats)
         return {
             "status": "ok",
             "gallery_size": int(len(svc.paths)),
             "k": int(svc.k),
             "ingest": svc.ingest_format,
             "model": svc.cfg.MODEL.NAME,
+            "batching": self._batcher is not None,
+            **stats,
         }
 
     def search(self, payload: dict) -> dict:
@@ -195,11 +207,36 @@ class RetrievalHTTPServer:
 
     # -- lifecycle --------------------------------------------------------
     def serve_forever(self):
+        """Foreground serving (the CLI). SIGTERM/SIGINT stop the accept
+        loop and drain in-flight handlers before returning — the serving
+        analogue of the training loop's graceful preemption
+        (utils/preemption.py)."""
+        import signal
+
+        def _stop(signum, frame):
+            # httpd.shutdown() blocks until serve_forever exits, so it
+            # must not run on this (the serving) thread
+            threading.Thread(target=self.httpd.shutdown).start()
+
+        previous = {
+            s: signal.signal(s, _stop)
+            for s in (signal.SIGTERM, signal.SIGINT)
+        }
         print(
             f"RetrievalHTTPServer on http://{self.host}:{self.port} "
-            f"(gallery={len(self.service.paths)}, k={self.service.k})"
+            f"(gallery={len(self.service.paths)}, k={self.service.k})",
+            flush=True,
         )
-        self.httpd.serve_forever()
+        try:
+            self.httpd.serve_forever()
+        finally:
+            for s, old in previous.items():
+                signal.signal(s, old)
+            self.httpd.server_close()
+            with self._stats_lock:
+                stats = dict(self._stats)
+            print(f"RetrievalHTTPServer stopped cleanly ({stats})",
+                  flush=True)
 
     def start_background(self):
         self._thread = threading.Thread(
@@ -276,12 +313,17 @@ def _make_handler(server: RetrievalHTTPServer):
                 payload = json.loads(body)
                 if not isinstance(payload, dict):
                     raise BadRequest("body must be a JSON object")
-                return self._reply(200, server.search(payload))
+                out = server.search(payload)
+                server.count(images=len(out["results"]))
+                return self._reply(200, out)
             except BadRequest as e:
+                server.count(error=True)
                 return self._reply(400, {"error": str(e)})
             except json.JSONDecodeError as e:
+                server.count(error=True)
                 return self._reply(400, {"error": f"invalid JSON: {e}"})
             except Exception as e:  # pragma: no cover — defensive
+                server.count(error=True)
                 return self._reply(
                     500, {"error": f"{type(e).__name__}: {e}"}
                 )

@@ -105,10 +105,14 @@ def test_healthz_and_search_match_library_path(served):
 
     with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
         health = json.loads(r.read())
-    assert health == {
+    assert {
+        k: health[k]
+        for k in ("status", "gallery_size", "k", "ingest", "model")
+    } == {
         "status": "ok", "gallery_size": 12, "k": 5,
         "ingest": "rgb", "model": "resnet18",
     }
+    assert health["requests"] == 0 and health["errors"] == 0
 
     qfiles = sorted(os.path.join(query, f) for f in os.listdir(query))
     blobs = [open(p, "rb").read() for p in qfiles]
@@ -136,6 +140,12 @@ def test_healthz_and_search_match_library_path(served):
     assert status == 200
     assert len(out2["results"][0]["paths"]) == 2
     assert out2["results"][0]["indices"] == out["results"][0]["indices"][:2]
+
+    # observability counters advanced: 2 ok requests, 4 images, 0 errors
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+        health = json.loads(r.read())
+    assert health["requests"] == 2 and health["images"] == 4
+    assert health["errors"] == 0
 
 
 def test_error_contract(served):
@@ -183,6 +193,11 @@ def test_error_contract(served):
             }).encode(),
         )
         assert code == 400 and "'k'" in body["error"], bad_k
+
+    # every rejected request above counted as an error
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+        health = json.loads(r.read())
+    assert health["errors"] >= 8 and health["images"] == 0
 
 
 def test_keepalive_connection_survives_errors(served):
@@ -357,6 +372,52 @@ def test_cli_build_serves_index_artifacts(tmp_path):
         assert os.path.basename(out["results"][0]["paths"][0]) == "a_2.jpg"
     finally:
         server.shutdown()
+
+    # the foreground CLI (serve.py serve_forever): SIGTERM drains and
+    # exits 0 — the serving analogue of training's graceful preemption
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    from conftest import cpu_subprocess_env
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    log = tmp_path / "serve.log"
+    with open(log, "wb") as lf:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(root, "inference", "serve.py"),
+             "--gallery_data", cfg.OUTPUT_DIR,
+             "--port", str(port), "--topk", "3",
+             "MODEL.NAME", "resnet18", "USE_MIXED_PRECISION", "False",
+             "INPUT.SIZE_TEST", "[32,16]", "TEST.IMS_PER_BATCH", "8",
+             "TPU.NUM_GROUPS", "1", "MODEL.PRETRAIN_PATH", ckpt],
+            stdout=lf, stderr=subprocess.STDOUT,
+            env=cpu_subprocess_env(), cwd=root,
+        )
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                pytest.fail("serve.py died:\n" + log.read_text()[-2000:])
+            if "RetrievalHTTPServer on" in log.read_text(errors="replace"):
+                break
+            time.sleep(0.5)
+        else:
+            proc.kill()
+            pytest.fail("serve.py never came up:\n" + log.read_text()[-2000:])
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=60
+        ) as r:
+            assert json.loads(r.read())["gallery_size"] == 8
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=120)
+    text = log.read_text(errors="replace")
+    assert rc == 0, text[-2000:]
+    assert "stopped cleanly" in text
 
 
 def test_concurrent_requests_match_serial(served):
