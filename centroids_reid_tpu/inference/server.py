@@ -79,12 +79,21 @@ class _DynamicBatcher:
         self._q.put((imgs, fut))
         return fut.result()
 
+    def stop(self):
+        """Unblock and end the worker (server shutdown); queued requests
+        ahead of the sentinel still complete."""
+        self._q.put(None)
+        self._thread.join(10)
+
     def _worker(self):
         import queue
         import time
 
         while True:
-            imgs, fut = self._q.get()  # block for the first request
+            first = self._q.get()  # block for the first request
+            if first is None:
+                return
+            imgs, fut = first
             staged = [(imgs, fut)]
             rows = imgs.shape[0]
             deadline = time.monotonic() + self.window_s
@@ -95,6 +104,9 @@ class _DynamicBatcher:
                 try:
                     nxt = self._q.get(timeout=budget)
                 except queue.Empty:
+                    break
+                if nxt is None:  # shutdown sentinel: finish this batch
+                    self._q.put(None)
                     break
                 staged.append(nxt)
                 rows += nxt[0].shape[0]
@@ -248,6 +260,8 @@ class RetrievalHTTPServer:
     def shutdown(self):
         self.httpd.shutdown()
         self.httpd.server_close()
+        if self._batcher is not None:
+            self._batcher.stop()
         if self._thread is not None:
             self._thread.join(10)
 
