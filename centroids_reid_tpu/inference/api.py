@@ -160,6 +160,16 @@ def find_similar(cfg, gallery_data: str, images_in_subfolders: bool,
     if use_pallas is None:
         use_pallas = cfg.TPU.USE_PALLAS_RETRIEVAL
     k = topk if topk else len(paths_gallery)
+    if cfg.TPU.SHARDED_RETRIEVAL and not topk:
+        # --topk 0 asks for ALL gallery entries ranked per query — that
+        # IS the full [Q, G] matrix, which no sharded top-k can avoid;
+        # the flag's OOM protection does not apply here and falling
+        # through must not be silent
+        log.warning(
+            "TPU.SHARDED_RETRIEVAL requires --topk > 0 (ranking ALL "
+            "gallery entries materialises the full distance matrix on "
+            "one device); proceeding with the materialising path"
+        )
     if cfg.TPU.SHARDED_RETRIEVAL and topk:
         # gallery sharded over all local devices: capacity = aggregate
         # HBM; identical results to the single-chip path (tests)

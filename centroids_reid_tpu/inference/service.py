@@ -144,10 +144,14 @@ class RetrievalService:
         # score matrix per dispatch (ops.retrieval topk_select dispatch
         # table); clamp the query chunk so that buffer respects the same
         # score budget the CLI path enforces. width = per-shard rows on a
-        # mesh (each device scores its shard). Floor 128: the Pallas query
-        # tile — at the floor a 3M-row gallery costs ~1.5 GB of scores,
-        # the irreducible minimum for one dispatch.
-        if not (use_bf16_kernel and self.k <= 32):
+        # mesh (each device scores its shard) — and the sharded program
+        # ALWAYS materialises its per-shard scores (shard_select_merge's
+        # MXU dot + hierarchical build; the streaming-merge Pallas kernel
+        # only serves the single-chip bf16 k<=32 case), so a mesh clamps
+        # unconditionally. Floor 128: the Pallas query tile — at the
+        # floor a 3M-row gallery costs ~1.5 GB of scores, the irreducible
+        # minimum for one dispatch.
+        if self.mesh is not None or not (use_bf16_kernel and self.k <= 32):
             width = self._shard_rows if self.mesh is not None else gf.shape[0]
             # max(width, 1): an empty gallery (index built before any data
             # arrived) must still construct — its score matrix is 0-wide
@@ -294,12 +298,10 @@ class RetrievalService:
         def run_sharded(params, batch_stats, gf, gf32, gn, imgs_u8):
             e = embed_q(params, batch_stats, imgs_u8)
             e32 = e.astype(jnp.float32)
-            d, idx = ranked(e.astype(kernel_dtype), e32, gf, gf32, gn)
-            order = jnp.argsort(d, axis=1, stable=True)
-            return (
-                jnp.take_along_axis(d, order, axis=1),
-                jnp.take_along_axis(idx, order, axis=1),
-            )
+            # shard_select_merge's final lax.top_k(-allv) already returns
+            # the merged candidates ascending by exact distance — no
+            # re-sort needed
+            return ranked(e.astype(kernel_dtype), e32, gf, gf32, gn)
 
         return run_sharded
 

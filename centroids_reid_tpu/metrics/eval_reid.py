@@ -32,21 +32,30 @@ class ReidMetrics(NamedTuple):
     single_performance: np.ndarray  # [num_valid_q, 3] (q_idx, q_pid, AP)
 
 
-@partial(jax.jit, static_argnums=(5, 6))
+@partial(jax.jit, static_argnums=(6, 7))
 def _ranked_metrics_device(
-    indices, q_pids, g_pids, q_camids, g_camids, max_rank, respect_camids
+    indices, q_pids, g_pids, q_camids, g_cam_lo, g_cam_hi, max_rank,
+    respect_camids,
 ):
-    """Core mask algebra; jit-friendly. g_camids is a bitmask array when
-    respect_camids else plain camids."""
+    """Core mask algebra; jit-friendly. In respect_camids mode the gallery
+    camid bitmask arrives as TWO int32 words (bits 0-31 / 32-63,
+    split_camid_words): JAX downcasts int64 device arrays to int32 when
+    x64 is off, which would silently truncate bitmasks for cameras >= 31
+    (and a >> shift >= 32 on int32 is undefined). Without respect_camids
+    ``g_cam_lo`` holds the plain camids and ``g_cam_hi`` is ignored."""
     g_pids_ord = g_pids[indices]                     # [Q, G]
-    g_cam_ord = g_camids[indices]
+    lo_ord = g_cam_lo[indices]
     matches = g_pids_ord == q_pids[:, None]
 
     if respect_camids:
-        in_set = ((g_cam_ord >> q_camids[:, None]) & 1).astype(bool)
+        hi_ord = g_cam_hi[indices]
+        use_hi = q_camids >= 32                      # [Q]
+        shift = jnp.where(use_hi, q_camids - 32, q_camids)[:, None]
+        word = jnp.where(use_hi[:, None], hi_ord, lo_ord)
+        in_set = ((word >> shift) & 1).astype(bool)
         remove = matches & in_set
     else:
-        remove = matches & (g_cam_ord == q_camids[:, None])
+        remove = matches & (lo_ord == q_camids[:, None])
     keep = ~remove
 
     hit = matches & keep
@@ -92,12 +101,14 @@ def eval_func(
         max_rank = num_g
         print(f"Note: number of gallery samples is quite small, got {num_g}")
 
+    lo, hi = split_camid_words(g_camids)
     cmc, mAP, topk, ap, valid_q = _ranked_metrics_device(
         jnp.asarray(indices),
         jnp.asarray(np.asarray(q_pids, np.int64)),
         jnp.asarray(np.asarray(g_pids, np.int64)),
-        jnp.asarray(np.asarray(q_camids, np.int64)),
-        jnp.asarray(np.asarray(g_camids, np.int64)),
+        jnp.asarray(np.asarray(q_camids, np.int32)),
+        jnp.asarray(lo),
+        jnp.asarray(hi),
         max_rank,
         bool(respect_camids),
     )
@@ -113,6 +124,19 @@ def eval_func(
         all_topk=np.asarray(topk),
         single_performance=single,
     )
+
+
+def split_camid_words(g_camids) -> tuple:
+    """int64 camid bitmasks (or plain camids) -> two int32 words holding
+    bits 0-31 and 32-63 — the device-safe representation (x64-off JAX
+    truncates int64 device arrays to int32). Bit 31 of a word lands on
+    the int32 sign bit; extraction stays correct because
+    ``(word >> 31) & 1`` reads the original bit under an arithmetic
+    shift."""
+    g64 = np.asarray(g_camids, np.int64)
+    lo = (g64 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    hi = ((g64 >> 32) & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    return lo, hi
 
 
 def camid_sets_to_bitmask(camid_sets) -> np.ndarray:

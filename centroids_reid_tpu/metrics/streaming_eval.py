@@ -115,25 +115,34 @@ def _extract_scan(qf_c, pos_c, gf, j0, g_chunk: int, dist: str):
 
 
 def _count_scan(qf_c, q_pids_c, q_camids_c, pos_c, dpos, gf, g_pids,
-                g_camids, g_valid, j0, g_chunk: int, dist: str,
+                g_cam_lo, g_cam_hi, g_valid, j0, g_chunk: int, dist: str,
                 respect_camids: bool):
     """rank[q,h] = #{kept j in this block: (d_qj, j) < (dpos, pos_idx)}.
-    ``dpos`` must be the GLOBAL extraction (psum'd first when sharded)."""
+    ``dpos`` must be the GLOBAL extraction (psum'd first when sharded).
+    Camid bitmasks arrive as two int32 words (bits 0-31 / 32-63;
+    eval_reid.split_camid_words): x64-off JAX would truncate int64 masks
+    for cameras >= 31 and a >> shift >= 32 on int32 is undefined."""
     n_chunks = gf.shape[0] // g_chunk
 
     def count(ranks, c):
         s, jg = _tile(qf_c, gf, j0, c, g_chunk, dist)
         g_pids_sl = jax.lax.dynamic_slice_in_dim(g_pids, c * g_chunk,
                                                  g_chunk, 0)
-        g_cam_sl = jax.lax.dynamic_slice_in_dim(g_camids, c * g_chunk,
-                                                g_chunk, 0)
+        lo_sl = jax.lax.dynamic_slice_in_dim(g_cam_lo, c * g_chunk,
+                                             g_chunk, 0)
         g_val_sl = jax.lax.dynamic_slice_in_dim(g_valid, c * g_chunk,
                                                 g_chunk, 0)
         match = g_pids_sl[None, :] == q_pids_c[:, None]
         if respect_camids:
-            same = ((g_cam_sl[None, :] >> q_camids_c[:, None]) & 1) == 1
+            hi_sl = jax.lax.dynamic_slice_in_dim(g_cam_hi, c * g_chunk,
+                                                 g_chunk, 0)
+            use_hi = q_camids_c >= 32                       # [Qc]
+            shift = jnp.where(use_hi, q_camids_c - 32, q_camids_c)
+            word = jnp.where(use_hi[:, None], hi_sl[None, :],
+                             lo_sl[None, :])
+            same = ((word >> shift[:, None]) & 1) == 1
         else:
-            same = g_cam_sl[None, :] == q_camids_c[:, None]
+            same = lo_sl[None, :] == q_camids_c[:, None]
         keep = (~(match & same)) & g_val_sl[None, :]        # [Qc, C]
         before = (s[:, None, :] < dpos[:, :, None]) | (
             (s[:, None, :] == dpos[:, :, None])
@@ -152,13 +161,14 @@ def _count_scan(qf_c, q_pids_c, q_camids_c, pos_c, dpos, gf, g_pids,
 
 @partial(jax.jit,
          static_argnames=("g_chunk", "dist", "respect_camids"))
-def _stream_ranks(qf_c, q_pids_c, q_camids_c, pos_c, gf, g_pids, g_camids,
-                  g_valid, g_chunk: int, dist: str, respect_camids: bool):
+def _stream_ranks(qf_c, q_pids_c, q_camids_c, pos_c, gf, g_pids, g_cam_lo,
+                  g_cam_hi, g_valid, g_chunk: int, dist: str,
+                  respect_camids: bool):
     j0 = jnp.int32(0)
     dpos = _extract_scan(qf_c, pos_c, gf, j0, g_chunk, dist)
     ranks = _count_scan(
-        qf_c, q_pids_c, q_camids_c, pos_c, dpos, gf, g_pids, g_camids,
-        g_valid, j0, g_chunk, dist, respect_camids,
+        qf_c, q_pids_c, q_camids_c, pos_c, dpos, gf, g_pids, g_cam_lo,
+        g_cam_hi, g_valid, j0, g_chunk, dist, respect_camids,
     )
     return dpos, ranks
 
@@ -175,7 +185,7 @@ def _stream_ranks_sharded_program(mesh, shard_rows: int, g_chunk: int,
 
     from ..parallel.mesh import GALLERY_AXIS
 
-    def local(qf_l, qp_l, qc_l, pos_l, gf_l, gp_l, gc_l, gv_l):
+    def local(qf_l, qp_l, qc_l, pos_l, gf_l, gp_l, gclo_l, gchi_l, gv_l):
         j0 = (jax.lax.axis_index(GALLERY_AXIS) * shard_rows).astype(
             jnp.int32
         )
@@ -188,15 +198,15 @@ def _stream_ranks_sharded_program(mesh, shard_rows: int, g_chunk: int,
             GALLERY_AXIS,
         )
         ranks = _count_scan(
-            qf_l, qp_l, qc_l, pos_l, dpos, gf_l, gp_l, gc_l, gv_l,
-            j0, g_chunk, dist, respect_camids,
+            qf_l, qp_l, qc_l, pos_l, dpos, gf_l, gp_l, gclo_l, gchi_l,
+            gv_l, j0, g_chunk, dist, respect_camids,
         )
         return dpos, jax.lax.psum(ranks, GALLERY_AXIS)
 
     return jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(GALLERY_AXIS), P(GALLERY_AXIS),
-                  P(GALLERY_AXIS), P(GALLERY_AXIS)),
+                  P(GALLERY_AXIS), P(GALLERY_AXIS), P(GALLERY_AXIS)),
         out_specs=(P(), P()),
         check_rep=False,
     ))
@@ -254,9 +264,12 @@ def eval_func_streaming(
     g_valid = np.concatenate(
         [np.ones(num_g, bool), np.zeros(pad_g, bool)]
     )
+    from .eval_reid import split_camid_words
+
+    g_cam_lo, g_cam_hi = split_camid_words(g_camids_p)
     dev = [gf_p] + [jnp.asarray(x) for x in
                     (g_pids_p.astype(np.int32),
-                     g_camids_p.astype(np.int32), g_valid)]
+                     g_cam_lo, g_cam_hi, g_valid)]
     if mesh is not None:
         # place the (possibly multi-GB) gallery into its sharded layout
         # ONCE — not per query chunk — and reuse one compiled program

@@ -126,6 +126,28 @@ def _fold_conv_ibn(conv_p, ibn_p) -> Dict[str, jnp.ndarray]:
     }
 
 
+def _instance_norm_int8_domain(z_half, s, in_scale, in_bias):
+    """Per-sample IN whose reductions read the INT8 tensor ``z_half``
+    (real values = s * int). Exact rescaling identity: with mu_r = s*mu
+    and var_r = s^2*var,
+
+        (real - mu_r) * rsqrt(var_r + eps)
+      = s*(int - mu) * rsqrt(s^2*var + eps)
+      = (int - mu) * rsqrt(var + eps / s^2)
+
+    so the scale cancels out of the stats and only re-enters through the
+    eps term. Oracle-tested against the fp32 _apply_instance_norm at
+    ~float-rounding tolerance (tests/test_quantized.py) — the identity is
+    exact, not approximate."""
+    x = z_half.astype(jnp.float32)
+    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x * x, axis=(1, 2), keepdims=True) - mu * mu, 0.0
+    )
+    k = jax.lax.rsqrt(var + _EPS / (s * s)) * in_scale
+    return (x - mu) * k + in_bias
+
+
 def _apply_instance_norm(y, in_scale, in_bias):
     """Per-sample IN over H,W on the first half of the channels (fp32),
     matching flax GroupNorm(one-channel groups): fp32 fast-variance stats,
@@ -450,16 +472,9 @@ class _Int8Engine:
             qname + ".pre", self._conv_fp_out(rep, entry, 1, 0)
         )
         s_out = self.q["act_scales"][qname]
-        x = z[..., :half].astype(jnp.float32)
-        mu = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.maximum(
-            jnp.mean(x * x, axis=(1, 2), keepdims=True) - mu * mu, 0.0
+        yin = _instance_norm_int8_domain(
+            z[..., :half], s, entry["in_scale"], entry["in_bias"]
         )
-        # stats over the INTEGER values: with real = s * int, the
-        # normalisation (real - mu_r) * rsqrt(var_r + eps) equals
-        # (int - mu) * rsqrt(var + eps / s^2) — s cancels exactly.
-        k = jax.lax.rsqrt(var + _EPS / (s * s)) * entry["in_scale"]
-        yin = (x - mu) * k + entry["in_bias"]
         q_in = jnp.clip(
             jnp.round(jax.nn.relu(yin) / s_out), -127, 127
         ).astype(jnp.int8)

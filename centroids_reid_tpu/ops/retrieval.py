@@ -462,10 +462,17 @@ def topk_select(qf, gf, gn_row, k: int, *, interpret: bool = False,
                 use_pallas: bool = True):
     """ONE selection entry for every consumer (CLI ``topk_retrieval``,
     ``RetrievalService``'s jitted query program, ``parallel.sharded_topk``'s
-    per-shard body): [Qp, D] x [Gp, D] (+ gn_row [1, Gp]) -> raw-score
-    top-k ``(scores [Qp, k], indices [Qp, k])`` where scores are
-    ``||g||^2 - 2 q.g`` (the rank-invariant ``||q||^2`` term is NOT added —
-    callers finalise to their distance flavour).
+    per-shard body): [Qp, D] x [Gp, D] (+ gn_row [1, Gp]) -> top-k
+    ``(scores [Qp, k], indices [Qp, k])`` by the raw score
+    ``||g||^2 - 2 q.g`` (the rank-invariant ``||q||^2`` term is NOT added).
+
+    VALUE contract caveat: only the ``indices`` are exact at the scoring
+    dtype on every branch. The bf16 k<=32 branch returns PACKED-MERGE
+    values — the raw score truncated to bf16 resolution (its packed
+    mono16 key carries the gallery column in the low bits) — while the
+    other branches return fp32 raw scores. Consumers must therefore
+    re-derive distances from ``indices`` (exact re-score, as the service
+    and ``topk_retrieval`` do) rather than finalise the returned values.
 
     Traceable (safe inside an enclosing jit). Dispatch policy (measured,
     benchmarks/bench_retrieval.py):

@@ -70,6 +70,37 @@ def test_eval_func_respect_camids_matches_oracle():
     np.testing.assert_allclose(ours.all_topk, topk, rtol=1e-5)
 
 
+def test_eval_func_respect_camids_high_camera_ids():
+    """Cameras up to 62 (the documented bitmask ceiling): x64-off JAX
+    truncates int64 device arrays to int32, so the bitmask must travel as
+    two 31-bit words (eval_reid.split_camid_words) — a single int32 word
+    silently dropped bits >= 31 and made >> shifts >= 32 undefined."""
+    rng = np.random.RandomState(4)
+    q, g, n_pids = 15, 60, 5
+    cams = [0, 1, 29, 30, 31, 32, 45, 61, 62]
+    q_pids = rng.randint(0, n_pids, q)
+    g_pids = rng.randint(0, n_pids, g)
+    q_camids = np.array([cams[i] for i in rng.randint(0, len(cams), q)])
+    g_cam_sets = [
+        sorted(
+            rng.choice(cams, size=rng.randint(1, 5), replace=False).tolist()
+        )
+        for _ in range(g)
+    ]
+    indices = np.argsort(rng.rand(q, g), axis=1)
+    ours = eval_func(
+        indices, q_pids, g_pids, q_camids,
+        camid_sets_to_bitmask(g_cam_sets), 10, respect_camids=True,
+    )
+    cmc, mAP, topk, _ = oracle_eval_func(
+        indices, q_pids, g_pids, q_camids, g_cam_sets, 10,
+        respect_camids=True,
+    )
+    np.testing.assert_allclose(ours.cmc, cmc, rtol=1e-5)
+    assert ours.mAP == pytest.approx(mAP, rel=1e-5)
+    np.testing.assert_allclose(ours.all_topk, topk, rtol=1e-5)
+
+
 def test_eval_func_drops_invalid_queries():
     """A query whose only gallery match shares pid+camid must be excluded
     (eval_reid.py:63-65)."""

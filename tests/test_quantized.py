@@ -170,3 +170,40 @@ def test_percentile_calibration():
         np.linalg.norm(ref, axis=1) * np.linalg.norm(got, axis=1)
     )
     assert cos.min() > 0.98, cos
+
+
+def test_int8_domain_instance_norm_identity():
+    """Oracle for the int8-domain InstanceNorm rescaling identity
+    (models/quantized._instance_norm_int8_domain): IN over int8 values
+    with the eps/s^2 correction must equal fp32 IN over the dequantized
+    values at float-rounding tolerance. The near-constant low-variance
+    case makes the eps term MATERIAL: a wrong identity (eps*s^2, or a
+    dropped s) is off by orders of magnitude there, far outside the e2e
+    cosine>0.99 check's resolution."""
+    from centroids_reid_tpu.models.quantized import (
+        _instance_norm_int8_domain,
+    )
+
+    rng = np.random.RandomState(11)
+    half = 8
+    in_scale = (rng.randn(half) * 0.5 + 1.0).astype(np.float32)
+    in_bias = (rng.randn(half) * 0.1).astype(np.float32)
+
+    cases = []
+    z_wide = rng.randint(-127, 128, (2, 7, 5, half)).astype(np.int8)
+    cases.append(z_wide)
+    # near-constant: var_int ~ 0.2, so eps/s^2 dominates at small s
+    z_flat = (rng.randint(0, 2, (2, 7, 5, half)) + 3).astype(np.int8)
+    cases.append(z_flat)
+
+    for z in cases:
+        for s in (0.004, 1.0, 37.5):
+            got = np.asarray(_instance_norm_int8_domain(
+                jnp.asarray(z), jnp.float32(s),
+                jnp.asarray(in_scale), jnp.asarray(in_bias),
+            ))
+            real = z.astype(np.float64) * s
+            mu = real.mean(axis=(1, 2), keepdims=True)
+            var = ((real - mu) ** 2).mean(axis=(1, 2), keepdims=True)
+            ref = (real - mu) / np.sqrt(var + 1e-5) * in_scale + in_bias
+            np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -101,6 +101,32 @@ def test_streaming_respect_camids_bitmasks():
     _assert_same(m_str, m_ref)
 
 
+def test_streaming_respect_camids_high_camera_ids():
+    """Cameras above 30 exercise the two-word bitmask path (bits 31-61
+    live in the high int32 word; see eval_reid.split_camid_words) —
+    streaming must agree with the (np-loop-anchored) eval_func."""
+    rng = np.random.RandomState(7)
+    q, g, d = 13, 47, 8
+    cams = [0, 5, 30, 31, 40, 62]
+    qf = rng.randn(q, d).astype(np.float32)
+    gf = rng.randn(g, d).astype(np.float32)
+    q_pids = rng.randint(0, 5, q)
+    g_pids = rng.randint(0, 5, g)
+    q_camids = np.array([cams[i] for i in rng.randint(0, len(cams), q)])
+    cam_sets = [
+        rng.choice(cams, rng.randint(1, 4), replace=False)
+        for _ in range(g)
+    ]
+    g_masks = camid_sets_to_bitmask(cam_sets)
+    m_ref = _oracle(qf, gf, q_pids, g_pids, q_camids, g_masks,
+                    "euclidean", respect_camids=True)
+    m_str = eval_func_streaming(
+        qf, gf, q_pids, g_pids, q_camids, g_masks,
+        respect_camids=True, g_chunk=16,
+    )
+    _assert_same(m_str, m_ref)
+
+
 def test_r1map_streaming_switch_equivalence():
     """R1mAP with streaming forced on == the default materialising path
     (same feats/pids/camids, num_query split)."""
