@@ -147,6 +147,7 @@ class RetrievalHTTPServer:
             if batch_window_ms > 0 else None
         )
         self._thread = None
+        self._serving = False
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "images": 0, "errors": 0}
         handler = _make_handler(self)
@@ -239,9 +240,11 @@ class RetrievalHTTPServer:
             f"(gallery={len(self.service.paths)}, k={self.service.k})",
             flush=True,
         )
+        self._serving = True
         try:
             self.httpd.serve_forever()
         finally:
+            self._serving = False
             for s, old in previous.items():
                 signal.signal(s, old)
             self.httpd.server_close()
@@ -254,11 +257,18 @@ class RetrievalHTTPServer:
         self._thread = threading.Thread(
             target=self.httpd.serve_forever, daemon=True
         )
+        self._serving = True
         self._thread.start()
         return self
 
     def shutdown(self):
-        self.httpd.shutdown()
+        # BaseServer.shutdown() waits on an event that only serve_forever
+        # sets — calling it on a server whose loop never started would
+        # block forever, so a constructed-but-never-served instance just
+        # closes its socket
+        if self._serving:
+            self.httpd.shutdown()
+            self._serving = False
         self.httpd.server_close()
         if self._batcher is not None:
             self._batcher.stop()

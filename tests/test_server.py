@@ -347,7 +347,8 @@ def test_cli_build_serves_index_artifacts(tmp_path):
 
     from centroids_reid_tpu.inference.server import build_from_args
 
-    server = build_from_args([
+    cache = str(tmp_path / "int8_artifact")
+    cli_args = [
         "--gallery_data", cfg.OUTPUT_DIR,
         "--port", "0", "--topk", "4", "--normalize_features",
         "--fp32_exact",
@@ -356,7 +357,9 @@ def test_cli_build_serves_index_artifacts(tmp_path):
         "TPU.NUM_GROUPS", "1",
         "MODEL.PRETRAIN_PATH", ckpt,
         "TPU.INT8_EVAL", "True", "TPU.INT8_CALIB_BATCHES", "1",
-    ]).start_background()
+        "TPU.INT8_CACHE_PATH", cache,
+    ]
+    server = build_from_args(cli_args).start_background()
     try:
         base = f"http://127.0.0.1:{server.port}"
         with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
@@ -372,6 +375,18 @@ def test_cli_build_serves_index_artifacts(tmp_path):
         assert os.path.basename(out["results"][0]["paths"][0]) == "a_2.jpg"
     finally:
         server.shutdown()
+
+    # the serve CLI routes through the shared quantize_for_serving flow:
+    # the calibrated artifact was persisted, and a rebuild LOADS it
+    # (identical file, no rewrite) instead of recalibrating
+    npz = cache + ".npz" if not cache.endswith(".npz") else cache
+    assert os.path.exists(npz)
+    mtime = os.path.getmtime(npz)
+    server2 = build_from_args(cli_args)
+    try:
+        assert os.path.getmtime(npz) == mtime
+    finally:
+        server2.shutdown()
 
     # the foreground CLI (serve.py serve_forever): SIGTERM drains and
     # exits 0 — the serving analogue of training's graceful preemption
