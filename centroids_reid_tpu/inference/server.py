@@ -177,17 +177,20 @@ class RetrievalHTTPServer:
         }
 
     def search(self, payload: dict) -> dict:
+        # snapshot: one request must not straddle a swap_service (validate
+        # k, ingest and dispatch against ONE service generation)
+        svc = self.service
         imgs_b64 = payload.get("images_b64")
         if not isinstance(imgs_b64, list) or not imgs_b64:
             raise BadRequest("'images_b64' must be a non-empty list")
-        k = payload.get("k", self.service.k)
+        k = payload.get("k", svc.k)
         # NB: bool is an int subclass — "k": true must not mean k=1
         if (not isinstance(k, int) or isinstance(k, bool)
-                or not 1 <= k <= self.service.k):
+                or not 1 <= k <= svc.k):
             raise BadRequest(
-                f"'k' must be an int in [1, {self.service.k}] (the service"
+                f"'k' must be an int in [1, {svc.k}] (the service"
                 " was built with k={}; rebuild it for deeper results)".format(
-                    self.service.k
+                    svc.k
                 )
             )
         try:
@@ -197,16 +200,17 @@ class RetrievalHTTPServer:
         try:
             # decode outside the lock (parallel across request threads),
             # dispatch under it
-            imgs = self.service.ingest_bytes(blobs)
+            imgs = svc.ingest_bytes(blobs)
         except Exception as e:
             raise BadRequest(f"undecodable image: {e}")
         if self._batcher is not None:
             # dynamic batching: this request's rows join the open window
-            # and come back from a coalesced dispatch
+            # and come back from a coalesced dispatch (a window opened
+            # after a swap dispatches on the new service)
             d, idx, paths = self._batcher.submit(imgs)
         else:
             with self._dispatch_lock:
-                d, idx, paths = self.service.query_arrays(imgs)
+                d, idx, paths = svc.query_arrays(imgs)
         return {
             "results": [
                 {
@@ -260,6 +264,18 @@ class RetrievalHTTPServer:
         self._serving = True
         self._thread.start()
         return self
+
+    def swap_service(self, new_service) -> None:
+        """Zero-downtime index refresh: atomically replace the resident
+        gallery/service (the documented update lifecycle is rebuild +
+        swap, matching the reference's create_embeddings artifact cycle).
+        In-flight dispatches finish on the old service; requests arriving
+        after the swap (and batcher windows opened after it) rank against
+        the new gallery. Counters persist across swaps."""
+        with self._dispatch_lock:
+            self.service = new_service
+            if self._batcher is not None:
+                self._batcher.service = new_service
 
     def shutdown(self):
         # BaseServer.shutdown() waits on an event that only serve_forever

@@ -321,6 +321,67 @@ def test_chunked_transfer_encoding_is_rejected(served):
     assert b"Content-Length required" in resp
 
 
+def test_swap_service_zero_downtime(tmp_path):
+    """swap_service atomically replaces the resident gallery: requests
+    after the swap rank against the new index, counters persist, and the
+    server never restarts."""
+    rng = np.random.RandomState(3)
+    g1 = tmp_path / "g1"
+    g2 = tmp_path / "g2"
+    g1.mkdir()
+    g2.mkdir()
+    for i in range(6):
+        Image.fromarray(
+            rng.randint(0, 255, (32, 16, 3), np.uint8)
+        ).save(g1 / f"one_{i}.jpg")
+        Image.fromarray(
+            rng.randint(0, 255, (32, 16, 3), np.uint8)
+        ).save(g2 / f"two_{i}.jpg")
+
+    cfg = _cfg(tmp_path)
+    model = create_model(cfg, num_classes=4)
+    state, _ = create_train_state(cfg, model, 4, seed=0)
+    mgr = CheckpointManager(str(tmp_path / "logs"))
+    mgr.save_periodic(0, state, cfg)
+    cfg.MODEL.PRETRAIN_PATH = mgr.latest_periodic()
+
+    from centroids_reid_tpu.inference import RetrievalService
+    from centroids_reid_tpu.inference.server import RetrievalHTTPServer
+
+    def build(gallery, out):
+        c = cfg.clone()
+        c.DATASETS.ROOT_DIR = str(gallery)
+        c.OUTPUT_DIR = str(tmp_path / out)
+        emb, paths = build_embeddings(c, images_in_subfolders=False)
+        return RetrievalService(
+            c, emb, paths, k=3, normalize=True, use_bf16_kernel=False
+        )
+
+    svc1 = build(g1, "o1")
+    svc2 = build(g2, "o2")
+    server = RetrievalHTTPServer(svc1, port=0).start_background()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        img = open(g1 / "one_2.jpg", "rb").read()
+        payload = {"images_b64": [base64.b64encode(img).decode()]}
+        _, out1 = _post(base + "/search", payload)
+        assert os.path.basename(out1["results"][0]["paths"][0]) \
+            == "one_2.jpg"
+
+        server.swap_service(svc2)
+        _, out2 = _post(base + "/search", payload)
+        # same query now ranks against gallery 2 only
+        assert all(
+            os.path.basename(p).startswith("two_")
+            for p in out2["results"][0]["paths"]
+        )
+        with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["requests"] == 2  # counters persist across the swap
+    finally:
+        server.shutdown()
+
+
 def test_cli_build_serves_index_artifacts(tmp_path):
     """build_from_args: the serve.py CLI path loads create_embeddings
     artifacts, honours --topk/--normalize_features/opts, and (with
