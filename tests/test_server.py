@@ -240,11 +240,21 @@ def test_dynamic_batching_coalesces_dispatches(served):
     if server._batcher is None:
         pytest.skip("direct variant has no batcher")
 
+    import time
+
     calls = []
+    slow_once = threading.Event()
     orig = svc.query_arrays
 
     def counting(imgs):
         calls.append(imgs.shape[0])
+        if not slow_once.is_set():
+            # hold the worker in its FIRST dispatch so the concurrent
+            # requests queue up behind it — they then coalesce in the
+            # next window regardless of their arrival spread (no timing
+            # assumptions on the loaded 1-core CI host)
+            slow_once.set()
+            time.sleep(2.0)
         return orig(imgs)
 
     svc.query_arrays = counting
@@ -256,8 +266,18 @@ def test_dynamic_batching_coalesces_dispatches(served):
             ]}
             for p in qfiles
         ] * 2                                  # 6 concurrent single-image
-        _post(base + "/search", payloads[0])   # warm (compile out of band)
+        _post(base + "/search", payloads[0])   # warm + trip the slow call
         calls.clear()
+
+        blocker = threading.Thread(
+            target=_post, args=(base + "/search", payloads[0])
+        )
+        slow_once.clear()                      # next dispatch is the slow one
+        blocker.start()
+        deadline = time.time() + 10
+        while not slow_once.is_set() and time.time() < deadline:
+            time.sleep(0.01)                   # worker is inside the dispatch
+        assert slow_once.is_set()
 
         results = [None] * len(payloads)
 
@@ -272,11 +292,15 @@ def test_dynamic_batching_coalesces_dispatches(served):
             t.start()
         for t in threads:
             t.join(120)
+        blocker.join(120)
     finally:
         svc.query_arrays = orig
 
-    assert len(calls) < len(payloads), calls   # coalescing happened
-    assert max(calls) > 1, calls               # ...into a real multi-batch
+    # calls[0] is the blocker's solo dispatch; everything that queued
+    # behind it coalesced into few multi-row batches
+    assert len(calls) < 1 + len(payloads), calls
+    assert max(calls) > 1, calls               # a real multi-request batch
+    calls = calls[1:]                          # drop the blocker's row
     assert sum(calls) == len(payloads)         # every row dispatched once
     # and each request still got ITS result: top-1 = its own gallery twin
     for (status, out), p in zip(results, payloads * 1):
