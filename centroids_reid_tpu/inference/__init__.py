@@ -19,5 +19,9 @@ __all__ = [
     "list_images_subfolders",
     "run_inference",
     "RetrievalService",
+    "export_embedder",
+    "export_from_config",
+    "load_embedder",
 ]
+from .export import export_embedder, export_from_config, load_embedder
 from .service import RetrievalService

@@ -736,6 +736,27 @@ def quantize_reid_model(
     )
 
 
+def serving_identity(cfg, model) -> Dict:
+    """The identity metadata stamped into (and validated against) a cached
+    int8 artifact — everything whose change must invalidate the cache."""
+    return {
+        "model_name": model.backbone_name,
+        "last_stride": model.last_stride,
+        "input_size": list(cfg.INPUT.SIZE_TEST),
+        "pretrain_path": str(cfg.MODEL.PRETRAIN_PATH),
+        "calib_pct": float(cfg.TPU.INT8_CALIB_PCT),
+        # normalization constants are folded into the stem weights and the
+        # pad_value, and calibration depth changes the activation scales —
+        # all of them must invalidate a cached artifact
+        "pixel_mean": [float(v) for v in cfg.INPUT.PIXEL_MEAN],
+        "pixel_std": [float(v) for v in cfg.INPUT.PIXEL_STD],
+        "calib_batches": int(cfg.TPU.INT8_CALIB_BATCHES),
+        # dataflow format: 2 = int8-domain InstanceNorm (needs the
+        # ".pre" activation scales; older artifacts lack them)
+        "format": 2,
+    }
+
+
 def quantize_for_serving(cfg, model, params, batch_stats, records,
                          store=None) -> QuantizedEmbed:
     """The cfg-driven serving flow shared by the inference CLIs, the
@@ -756,22 +777,7 @@ def quantize_for_serving(cfg, model, params, batch_stats, records,
     from ..data.loader import EvalLoader
 
     log = logging.getLogger(__name__)
-    identity = {
-        "model_name": model.backbone_name,
-        "last_stride": model.last_stride,
-        "input_size": list(cfg.INPUT.SIZE_TEST),
-        "pretrain_path": str(cfg.MODEL.PRETRAIN_PATH),
-        "calib_pct": float(cfg.TPU.INT8_CALIB_PCT),
-        # normalization constants are folded into the stem weights and the
-        # pad_value, and calibration depth changes the activation scales —
-        # all of them must invalidate a cached artifact
-        "pixel_mean": [float(v) for v in cfg.INPUT.PIXEL_MEAN],
-        "pixel_std": [float(v) for v in cfg.INPUT.PIXEL_STD],
-        "calib_batches": int(cfg.TPU.INT8_CALIB_BATCHES),
-        # dataflow format: 2 = int8-domain InstanceNorm (needs the
-        # ".pre" activation scales; older artifacts lack them)
-        "format": 2,
-    }
+    identity = serving_identity(cfg, model)
     cache = cfg.TPU.INT8_CACHE_PATH
     cache = QuantizedEmbed.npz_path(cache) if cache else ""
     if cache and os.path.exists(cache):
