@@ -188,13 +188,70 @@ def _int8_imgs_per_sec() -> float:
     return batch * scans / dt
 
 
+def _retrieval_ms(kernel_dtype, k: int, g: int = 100_000, q: int = 128,
+                  d: int = 2048, n1: int = 10, n2: int = 110) -> float:
+    """North-star retrieval latency (BASELINE.md target #3: <5 ms p50 for a
+    100k-gallery centroid query; /root/reference/inference/get_similar.py:
+    112-119 is the surface this fuses): per-dispatch device time of the
+    unified ``ops.retrieval.topk_select`` program at Q=128, D=2048.
+
+    Difference method (same as benchmarks/bench_retrieval.py): run the
+    kernel n1 and n2 times inside one jitted scan and divide the wall-time
+    delta by (n2 - n1) — the tunnel's ~45 ms fixed dispatch cost and its
+    RTT jitter cancel / divide out; the median of 3 differences rejects
+    stragglers. Two query buffers are cycled so XLA cannot hoist the body.
+    """
+    from centroids_reid_tpu.ops.retrieval import _G_TILE, topk_select
+
+    gf = jax.random.normal(jax.random.PRNGKey(0), (g, d), kernel_dtype)
+    qf = jax.random.normal(jax.random.PRNGKey(1), (q, d), kernel_dtype)
+    gn = jax.jit(
+        lambda a: jnp.einsum(
+            "gd,gd->g", a, a, preferred_element_type=jnp.float32
+        )[None, :]
+    )(gf)
+    pad = (-g) % _G_TILE
+    if pad:
+        gf = jnp.concatenate([gf, jnp.zeros((pad, d), gf.dtype)])
+        gn = jnp.concatenate([gn, jnp.full((1, pad), jnp.inf)], axis=1)
+    # 1 + 2^-7 stays exactly representable in bf16 (2^-10 would round away)
+    qf2 = jnp.stack([qf, qf * jnp.asarray(1.0078125, qf.dtype)])
+
+    def run(n):
+        @jax.jit
+        def prog(qf2_, gf_, gn_):
+            def body(c, i):
+                v, idx = topk_select(qf2_[i % 2], gf_, gn_, k)
+                return c + v.sum() + idx.sum().astype(jnp.float32), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
+            return c
+
+        float(prog(qf2, gf, gn))  # compile + warm
+        t0 = time.time()
+        float(prog(qf2, gf, gn))
+        return time.time() - t0
+
+    diffs = sorted((run(n2) - run(n1)) / (n2 - n1) for _ in range(3))
+    return diffs[1] * 1e3
+
+
 def _extra_rows():
     # e2e first: it is tunnel-bandwidth-sensitive and measures ~3x low
     # when the train benches run before it (device/tunnel still busy).
+    # retrieval rows next: they carry the <5 ms north star (BASELINE.md
+    # target #3) into the driver artifact, so they must not be the ones a
+    # tight budget skips.
     rows = (
         ("e2e_decode_embed_imgs_per_sec",
          lambda: _e2e_embed_imgs_per_sec(fast=True)),
         ("e2e_bitexact_decode_embed_imgs_per_sec", _e2e_embed_imgs_per_sec),
+        ("retrieval_p50_ms_100k_k100_fp32",
+         lambda: _retrieval_ms(jnp.float32, 100)),
+        ("retrieval_p50_ms_100k_k100_bf16",
+         lambda: _retrieval_ms(jnp.bfloat16, 100)),
+        ("retrieval_p50_ms_100k_k10_bf16",
+         lambda: _retrieval_ms(jnp.bfloat16, 10)),
         ("int8_eval_imgs_per_sec", _int8_imgs_per_sec),
         ("train_imgs_per_sec_bf16", lambda: _train_imgs_per_sec(True)),
         ("train_imgs_per_sec_fp32", lambda: _train_imgs_per_sec(False)),
@@ -209,7 +266,7 @@ def _extra_rows():
             out[name] = "skipped (time budget)"
             continue
         try:
-            out[name] = round(fn(), 1)
+            out[name] = round(fn(), 3 if name.endswith("_ms") else 1)
         except Exception as e:  # never break the headline contract
             out[name] = f"error {type(e).__name__}: {e}"
     return out

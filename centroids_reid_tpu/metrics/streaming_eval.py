@@ -52,6 +52,13 @@ from .eval_reid import K_LIST, ReidMetrics
 
 _G_CHUNK = 8192    # gallery rows per scanned score tile
 _Q_CHUNK = 128     # query rows per dispatched program
+# positives per inner tile: the extract/count intermediates are
+# [Qc, Hc, C] with Hc FIXED — a pid-heavy gallery (one pid = 30% of 100k
+# rows makes H = max positives per query reach tens of thousands) scans
+# more Hc-tiles instead of growing the tile, so device memory is flat in H
+# (the gallery scores [Qc, C] are computed once per gallery chunk and
+# reused across the positives tiles)
+_H_CHUNK = 64
 
 
 def _positives_table(q_pids, g_pids, q_camids, g_camids,
@@ -75,6 +82,7 @@ def _positives_table(q_pids, g_pids, q_camids, g_camids,
             hits = [j for j in cand if int(g_camids[j]) != qc]
         lists.append(hits)
     h = max([len(x) for x in lists] + [1])
+    h += (-h) % _H_CHUNK  # whole number of device-side positives tiles
     pos = np.full((len(q_pids), h), -1, np.int32)
     for qi, x in enumerate(lists):
         pos[qi, : len(x)] = x
@@ -92,26 +100,47 @@ def _tile(qf_c, gf, j0, c, g_chunk: int, dist: str):
     return s, jg
 
 
+def _h_tiles(pos_c):
+    """[Qc, H] -> [n_h, Qc, _H_CHUNK] (H is padded by the caller)."""
+    qc, h = pos_c.shape
+    return jnp.moveaxis(pos_c.reshape(qc, h // _H_CHUNK, _H_CHUNK), 1, 0)
+
+
+def _h_untile(x_r):
+    """[n_h, Qc, Hc] -> [Qc, H]."""
+    n_h, qc, hc = x_r.shape
+    return jnp.moveaxis(x_r, 0, 1).reshape(qc, n_h * hc)
+
+
 def _extract_scan(qf_c, pos_c, gf, j0, g_chunk: int, dist: str):
     """Pull each positive's distance out of the score tile it lives in.
 
     ``j0``: global index of this gallery block's first row (0 on a single
-    device; shard offset under shard_map)."""
+    device; shard offset under shard_map). The positives axis is scanned
+    in ``_H_CHUNK`` tiles so the [Qc, Hc, C] compare-intermediate stays
+    fixed-size regardless of H (pid-heavy galleries)."""
     n_chunks = gf.shape[0] // g_chunk
+    pos_r = _h_tiles(pos_c)
 
-    def extract(dpos, c):
+    def extract(dpos_r, c):
         s, jg = _tile(qf_c, gf, j0, c, g_chunk, dist)
-        at_pos = pos_c[:, :, None] == jg[None, None, :]     # [Qc, H, C]
-        return dpos + jnp.sum(
-            jnp.where(at_pos, s[:, None, :], 0.0), axis=2
-        ), None
 
-    h = pos_c.shape[1]
-    dpos, _ = jax.lax.scan(
-        extract, jnp.zeros((qf_c.shape[0], h), jnp.float32),
+        def h_body(_, xs):
+            pos_h, dpos_h = xs                               # [Qc, Hc]
+            at_pos = pos_h[:, :, None] == jg[None, None, :]  # [Qc, Hc, C]
+            return None, dpos_h + jnp.sum(
+                jnp.where(at_pos, s[:, None, :], 0.0), axis=2
+            )
+
+        _, dpos_r = jax.lax.scan(h_body, None, (pos_r, dpos_r))
+        return dpos_r, None
+
+    dpos_r, _ = jax.lax.scan(
+        extract,
+        jnp.zeros(pos_r.shape, jnp.float32),
         jnp.arange(n_chunks),
     )
-    return dpos
+    return _h_untile(dpos_r)
 
 
 def _count_scan(qf_c, q_pids_c, q_camids_c, pos_c, dpos, gf, g_pids,
@@ -124,7 +153,10 @@ def _count_scan(qf_c, q_pids_c, q_camids_c, pos_c, dpos, gf, g_pids,
     for cameras >= 31 and a >> shift >= 32 on int32 is undefined."""
     n_chunks = gf.shape[0] // g_chunk
 
-    def count(ranks, c):
+    pos_r = _h_tiles(pos_c)
+    dpos_r = _h_tiles(dpos)
+
+    def count(ranks_r, c):
         s, jg = _tile(qf_c, gf, j0, c, g_chunk, dist)
         g_pids_sl = jax.lax.dynamic_slice_in_dim(g_pids, c * g_chunk,
                                                  g_chunk, 0)
@@ -144,19 +176,24 @@ def _count_scan(qf_c, q_pids_c, q_camids_c, pos_c, dpos, gf, g_pids,
         else:
             same = lo_sl[None, :] == q_camids_c[:, None]
         keep = (~(match & same)) & g_val_sl[None, :]        # [Qc, C]
-        before = (s[:, None, :] < dpos[:, :, None]) | (
-            (s[:, None, :] == dpos[:, :, None])
-            & (jg[None, None, :] < pos_c[:, :, None])
-        )
-        return ranks + jnp.sum(
-            (keep[:, None, :] & before).astype(jnp.int32), axis=2
-        ), None
 
-    ranks, _ = jax.lax.scan(
-        count, jnp.zeros((qf_c.shape[0], pos_c.shape[1]), jnp.int32),
-        jnp.arange(n_chunks),
+        def h_body(_, xs):
+            pos_h, dpos_h, ranks_h = xs                     # [Qc, Hc]
+            before = (s[:, None, :] < dpos_h[:, :, None]) | (
+                (s[:, None, :] == dpos_h[:, :, None])
+                & (jg[None, None, :] < pos_h[:, :, None])
+            )                                               # [Qc, Hc, C]
+            return None, ranks_h + jnp.sum(
+                (keep[:, None, :] & before).astype(jnp.int32), axis=2
+            )
+
+        _, ranks_r = jax.lax.scan(h_body, None, (pos_r, dpos_r, ranks_r))
+        return ranks_r, None
+
+    ranks_r, _ = jax.lax.scan(
+        count, jnp.zeros(pos_r.shape, jnp.int32), jnp.arange(n_chunks),
     )
-    return ranks
+    return _h_untile(ranks_r)
 
 
 @partial(jax.jit,
@@ -318,20 +355,27 @@ def eval_func_streaming(
     dpos = np.concatenate(dpos_all)
     ranks = np.concatenate(ranks_all)
 
-    # -- closed-form metrics from ranks (host; O(Q*H^2) tiny) -------------
+    # -- closed-form metrics from ranks (host; O(Q*H log H)) --------------
     hvalid = pos >= 0
     big = np.int64(np.iinfo(np.int32).max)
     first_rank = np.where(hvalid, ranks, big).min(axis=1)
     valid_q = num_rel > 0
     n_valid = max(int(valid_q.sum()), 1)
 
-    # hrank: this hit's rank among the query's hits, by (distance, index)
-    a_d = dpos[:, :, None]
-    b_d = dpos[:, None, :]
-    a_i = pos[:, :, None]
-    b_i = pos[:, None, :]
-    before = (b_d < a_d) | ((b_d == a_d) & (b_i < a_i))
-    hrank = (before & hvalid[:, None, :]).sum(axis=2)
+    # hrank: this hit's rank among the query's hits by (distance, index).
+    # Lexsort per query instead of the all-pairs [Q, H, H] "before" count —
+    # O(Q*H log H) time and O(Q*H) memory, so a pid-heavy gallery (H in the
+    # tens of thousands) stays flat. Invalid (padded) slots sort last via
+    # +inf keys; (distance, index) pairs are unique among valid hits, so
+    # the sorted position IS the count of strictly-before hits.
+    d_key = np.where(hvalid, dpos, np.inf)
+    i_key = np.where(hvalid, pos, np.iinfo(np.int32).max)
+    order = np.lexsort((i_key, d_key), axis=-1)              # [Q, H]
+    hrank = np.empty(pos.shape, np.int64)
+    np.put_along_axis(
+        hrank, order, np.broadcast_to(np.arange(pos.shape[1]), pos.shape),
+        axis=1,
+    )
 
     prec = np.where(hvalid, (hrank + 1) / np.maximum(ranks + 1, 1), 0.0)
     ap = prec.sum(axis=1) / np.maximum(num_rel, 1)

@@ -177,3 +177,56 @@ def test_streaming_sharded_respect_camids_cosine():
             respect_camids=True, dist=dist, g_chunk=16, mesh=mesh,
         )
         _assert_same(m_sh, m_ref)
+
+
+def test_streaming_pid_heavy_gallery_multiple_h_tiles():
+    """The regime streaming eval exists for: one pid dominates the gallery,
+    so H = max positives per query far exceeds one _H_CHUNK tile. The
+    extract/count passes must tile the positives axis (device memory flat
+    in H) and still match the argsort oracle exactly — including the
+    lexsort-based hrank/AP math on a query with hundreds of hits."""
+    from centroids_reid_tpu.metrics.streaming_eval import _H_CHUNK
+
+    rng = np.random.RandomState(11)
+    q, d = 9, 8
+    heavy = 3 * _H_CHUNK + 17            # > 3 positives tiles
+    qf = rng.randn(q, d).astype(np.float32)
+    g_pids = np.concatenate([np.zeros(heavy, np.int64),
+                             rng.randint(1, 5, 40)])
+    g = len(g_pids)
+    gf = rng.randn(g, d).astype(np.float32)
+    gf[5] = gf[60] = gf[100]             # ties inside the heavy pid
+    q_pids = np.array([0] * 6 + [1, 2, 9])   # pid 9: zero positives
+    q_camids = rng.randint(0, 3, q)
+    g_camids = rng.randint(0, 3, g)
+    m_ref = _oracle(qf, gf, q_pids, g_pids, q_camids, g_camids, "euclidean")
+    m_str = eval_func_streaming(
+        qf, gf, q_pids, g_pids, q_camids, g_camids, g_chunk=64
+    )
+    _assert_same(m_str, m_ref)
+
+
+@needs_mesh
+def test_streaming_pid_heavy_sharded():
+    """Positives tiling under shard_map: the psum'd extract must assemble
+    each hit's distance across shards before counting, with H spanning
+    several tiles."""
+    from centroids_reid_tpu.metrics.streaming_eval import _H_CHUNK
+
+    rng = np.random.RandomState(12)
+    q, d = 5, 8
+    heavy = 2 * _H_CHUNK + 9
+    g_pids = np.concatenate([np.zeros(heavy, np.int64),
+                             rng.randint(1, 4, 31)])
+    g = len(g_pids)
+    qf = rng.randn(q, d).astype(np.float32)
+    gf = rng.randn(g, d).astype(np.float32)
+    q_pids = np.array([0, 0, 0, 1, 7])
+    q_camids = rng.randint(0, 3, q)
+    g_camids = rng.randint(0, 3, g)
+    mesh = make_retrieval_mesh(8)
+    m_ref = _oracle(qf, gf, q_pids, g_pids, q_camids, g_camids, "euclidean")
+    m_sh = eval_func_streaming(
+        qf, gf, q_pids, g_pids, q_camids, g_camids, g_chunk=16, mesh=mesh,
+    )
+    _assert_same(m_sh, m_ref)
