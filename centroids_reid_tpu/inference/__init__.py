@@ -21,7 +21,17 @@ __all__ = [
     "RetrievalService",
     "export_embedder",
     "export_from_config",
+    "export_retriever",
+    "export_retriever_from_config",
     "load_embedder",
+    "load_retriever",
 ]
-from .export import export_embedder, export_from_config, load_embedder
+from .export import (
+    export_embedder,
+    export_from_config,
+    export_retriever,
+    export_retriever_from_config,
+    load_embedder,
+    load_retriever,
+)
 from .service import RetrievalService

@@ -139,17 +139,27 @@ def export_embedder(
     return exported.serialize(), meta
 
 
-def save_artifact(path: str, blob: bytes, meta: dict) -> None:
+def save_artifact(path: str, blob: bytes, meta: dict,
+                  aux: bytes = b"") -> None:
+    """``aux``: optional sidecar section (retriever artifacts store the
+    gallery npz here) written between the meta JSON and the export blob;
+    its length is recorded in ``meta["aux_bytes"]`` so readers that
+    predate it still find their blob (they see no key and skip 0)."""
+    meta = dict(meta)
+    if aux:
+        meta["aux_bytes"] = len(aux)
     meta_bytes = json.dumps(meta, sort_keys=True).encode("utf-8")
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<Q", len(meta_bytes)))
         f.write(meta_bytes)
+        if aux:
+            f.write(aux)
         f.write(blob)
 
 
-def read_artifact(path: str):
-    """Returns ``(blob, meta)`` after validating magic + format version."""
+def _read_artifact_sections(path: str):
+    """Returns ``(blob, meta, aux)`` after validating magic + version."""
     with open(path, "rb") as f:
         head = f.read(len(MAGIC))
         if head != MAGIC:
@@ -159,6 +169,7 @@ def read_artifact(path: str):
             )
         (meta_len,) = struct.unpack("<Q", f.read(8))
         meta = json.loads(f.read(meta_len).decode("utf-8"))
+        aux = f.read(int(meta.get("aux_bytes", 0)))
         blob = f.read()
     ver = meta.get("format_version")
     if ver != FORMAT_VERSION:
@@ -166,7 +177,118 @@ def read_artifact(path: str):
             f"{path}: artifact format v{ver}, this loader reads "
             f"v{FORMAT_VERSION}"
         )
+    return blob, meta, aux
+
+
+def read_artifact(path: str):
+    """Returns ``(blob, meta)`` after validating magic + format version."""
+    blob, meta, _ = _read_artifact_sections(path)
     return blob, meta
+
+
+# ---------------------------------------------------------------------
+# export: retriever (artifact v2 — the WHOLE serving pipeline)
+# ---------------------------------------------------------------------
+
+def export_retriever(
+    model, cfg, params, batch_stats, gallery_embeddings, gallery_paths, *,
+    k: int = 100,
+    batch_size: int,
+    normalize: bool = True,
+    platforms: Sequence[str] = DEFAULT_PLATFORMS,
+    int8_qfn=None,
+):
+    """Serialize the ONE-dispatch embed+rank serving program together with
+    its gallery. Returns ``(blob, meta, aux)`` for ``save_artifact``.
+
+    This is the second half of the deployment story: the embedder
+    artifact replaces the reference's code+ckpt embed stage
+    (create_embeddings.py:73-85), and this replaces the rank stage
+    (get_similar.py:112-119) *fused with it* — the exported function is
+    byte-identical to ``RetrievalService``'s jitted query program
+    (service.py::run): uint8 queries in, device-side normalize + backbone
+    + BNNeck (+ L2) + fused distance/top-k against the resident gallery +
+    exact fp32 re-score, ``(distances [B,k], indices [B,k])`` out. The
+    weights ride inside the StableHLO as constants; the gallery rows +
+    paths ride in the artifact's aux section and are attached at load, so
+    a serving host needs the artifact file and JAX — no model code, no
+    checkpoint, no index directory.
+
+    Pinned to the exact fp32 XLA selection path (``use_pallas=False``):
+    a cross-platform module must not bake trace-time backend decisions,
+    and Mosaic kernels do not lower for the "cpu" entry of ``platforms``.
+    bf16-kernel serving keeps using a live ``RetrievalService``.
+    ``batch_size`` is required (the program ships at one static query
+    shape; the loader pads partial batches). Sharded (mesh) galleries
+    are runtime machinery, not artifacts — build the service instead.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from .service import RetrievalService
+
+    if batch_size is None:
+        raise ValueError("retriever export needs a fixed batch_size")
+    svc = RetrievalService(
+        cfg, gallery_embeddings, gallery_paths, k=k, normalize=normalize,
+        use_bf16_kernel=False, model_bundle=(model, params, batch_stats),
+        int8_qfn=int8_qfn, use_pallas=False,
+    )
+    run = svc._run
+    params_c, bstats_c = svc.params, svc.batch_stats
+
+    def ranked(gf, gf32, gn, imgs_u8):
+        return run(params_c, bstats_c, gf, gf32, gn, imgs_u8)
+
+    h, w = (int(v) for v in cfg.INPUT.SIZE_TEST)
+    b = int(batch_size)
+    ingest = svc.ingest_format
+    if ingest == "yuv420":
+        imgs_spec = jax.ShapeDtypeStruct((b, h * w * 3 // 2), jnp.uint8)
+    else:
+        imgs_spec = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
+    specs = tuple(
+        jax.ShapeDtypeStruct(a.shape, a.dtype)
+        for a in (svc._gf, svc._gf32, svc._gn)
+    ) + (imgs_spec,)
+    exported = jexport.export(
+        jax.jit(ranked), platforms=tuple(platforms)
+    )(*specs)
+
+    # aux: NORMALIZED fp32 gallery (pre-pad) + paths; the loader re-derives
+    # the padded kernel array and inf-padded norms with the same
+    # service-side host math (_pad_gallery), reproducing svc's arrays
+    # bit-exactly
+    import io
+
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        gallery=np.asarray(svc._gf32, np.float32),
+        paths=np.asarray(svc.paths),
+    )
+    aux = buf.getvalue()
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "retriever",
+        "model_name": str(cfg.MODEL.NAME),
+        "quantized": int8_qfn is not None,
+        "input_size_hw": [h, w],
+        "batch_size": b,
+        "k": int(svc.k),
+        "gallery_size": int(len(svc.paths)),
+        "emb_dim": int(svc._gf32.shape[1]),
+        "normalized": bool(normalize),
+        "ingest": ingest,
+        "pixel_mean": [float(v) for v in cfg.INPUT.PIXEL_MEAN],
+        "pixel_std": [float(v) for v in cfg.INPUT.PIXEL_STD],
+        "platforms": list(exported.platforms),
+        "jax_version": jax.__version__,
+        "calling_convention_version": exported.calling_convention_version,
+    }
+    return exported.serialize(), meta, aux
 
 
 # ---------------------------------------------------------------------
@@ -178,17 +300,46 @@ class LoadedEmbedder:
 
     Fixed-batch artifacts transparently pad the final partial batch (the
     pad rows are dropped before returning). Symbolic-batch artifacts call
-    straight through.
+    straight through — XLA compiles once per distinct B, so call
+    ``warmup`` with the serving batch sizes at startup (the first request
+    must not pay a Mosaic/XLA compile).
     """
 
     def __init__(self, exported, meta: dict):
+        import jax
+
         self.exported = exported
         self.meta = meta
         self._fixed = meta.get("batch_size")
+        # jit wrapper: per-shape executable caching on the serving host
+        # (a bare exported.call would re-lower every invocation) + a
+        # compile counter for the no-compile-after-warmup contract
+        self._call = jax.jit(exported.call)
 
     @property
     def input_size_hw(self):
         return tuple(self.meta["input_size_hw"])
+
+    @property
+    def num_compiles(self) -> int:
+        """Distinct compiled shapes so far (warmup/no-recompile checks)."""
+        return int(self._call._cache_size())
+
+    def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
+        """Compile ahead of traffic. Fixed-batch artifacts have exactly
+        one program shape (``batch_sizes`` ignored); symbolic-batch ones
+        compile one executable per requested size."""
+        h, w = self.input_size_hw
+        if self._fixed is not None:
+            sizes = [int(self._fixed)]
+        elif batch_sizes:
+            sizes = [int(s) for s in batch_sizes]
+        else:
+            raise ValueError(
+                "symbolic-batch artifact: pass warmup(batch_sizes=[...])"
+            )
+        for s in sizes:
+            self.embed(np.zeros((s, h, w, 3), np.uint8))
 
     def embed(self, imgs_u8: np.ndarray) -> np.ndarray:
         imgs_u8 = np.ascontiguousarray(imgs_u8, dtype=np.uint8)
@@ -199,7 +350,7 @@ class LoadedEmbedder:
             )
         n = imgs_u8.shape[0]
         if self._fixed is None:
-            return np.asarray(self.exported.call(imgs_u8))
+            return np.asarray(self._call(imgs_u8))
         bs = int(self._fixed)
         out = []
         for i in range(0, n, bs):
@@ -209,7 +360,7 @@ class LoadedEmbedder:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, h, w, 3), np.uint8)]
                 )
-            e = np.asarray(self.exported.call(chunk))
+            e = np.asarray(self._call(chunk))
             out.append(e[: bs - pad] if pad else e)
         return np.concatenate(out) if out else np.zeros(
             (0, self.meta["emb_dim"]),
@@ -229,9 +380,163 @@ def load_embedder(path: str) -> LoadedEmbedder:
     return LoadedEmbedder(jexport.deserialize(bytearray(blob)), meta)
 
 
+class LoadedRetriever:
+    """A re-hydrated retriever artifact: the full serve surface.
+
+    Duck-types ``RetrievalService`` for the HTTP server
+    (inference/server.py): ``k``, ``paths``, ``model_name``,
+    ``ingest_format``, ``ingest_bytes``, ``query_arrays``/``query_bytes``.
+    The gallery rides in the artifact's aux npz and is device_put once
+    here; queries pad to the artifact's fixed batch and dispatch the ONE
+    exported embed+rank program.
+    """
+
+    def __init__(self, exported, meta: dict, aux: bytes):
+        import io
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.retrieval import _G_TILE
+        from .service import _pad_gallery
+
+        self.meta = meta
+        self._bs = int(meta["batch_size"])
+        self.k = int(meta["k"])
+        with np.load(io.BytesIO(aux), allow_pickle=True) as z:
+            gallery = np.asarray(z["gallery"], np.float32)
+            self.paths = z["paths"]
+        gf, gn = _pad_gallery(gallery, _G_TILE)
+        self._gf = jax.device_put(jnp.asarray(gf, jnp.float32))
+        self._gf32 = jax.device_put(jnp.asarray(gallery, jnp.float32))
+        self._gn = jax.device_put(jnp.asarray(gn, jnp.float32)[None, :])
+        self._call = jax.jit(exported.call)
+
+    @property
+    def model_name(self) -> str:
+        return str(self.meta["model_name"])
+
+    @property
+    def input_size_hw(self):
+        return tuple(self.meta["input_size_hw"])
+
+    @property
+    def ingest_format(self) -> str:
+        return str(self.meta["ingest"])
+
+    @property
+    def num_compiles(self) -> int:
+        return int(self._call._cache_size())
+
+    def warmup(self) -> None:
+        """Compile + first-dispatch ahead of traffic (one program shape)."""
+        h, w = self.input_size_hw
+        if self.ingest_format == "yuv420":
+            z = np.zeros((self._bs, h * w * 3 // 2), np.uint8)
+        else:
+            z = np.zeros((self._bs, h, w, 3), np.uint8)
+        self.query_arrays(z)
+
+    def query_arrays(self, imgs_u8: np.ndarray):
+        """uint8 queries -> (distances [B,k], indices [B,k], paths)."""
+        imgs_u8 = np.ascontiguousarray(imgs_u8, dtype=np.uint8)
+        h, w = self.input_size_hw
+        want = (h * w * 3 // 2,) if self.ingest_format == "yuv420" \
+            else (h, w, 3)
+        if imgs_u8.shape[1:] != want:
+            raise ValueError(
+                f"expected uint8 [B,{','.join(map(str, want))}], got "
+                f"{imgs_u8.shape}"
+            )
+        n, bs = imgs_u8.shape[0], self._bs
+        ds, idxs = [], []
+        for i in range(0, n, bs):
+            chunk = imgs_u8[i: i + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + want, np.uint8)]
+                )
+            d, idx = self._call(self._gf, self._gf32, self._gn, chunk)
+            rows = bs - pad
+            ds.append(np.asarray(d)[:rows])
+            idxs.append(np.asarray(idx)[:rows])
+        d = (np.concatenate(ds) if ds
+             else np.zeros((0, self.k), np.float32))
+        idx = (np.concatenate(idxs) if idxs
+               else np.zeros((0, self.k), np.int32))
+        return d, idx, self.paths[idx]
+
+    def ingest_bytes(self, blobs: Sequence[bytes]) -> np.ndarray:
+        """Encoded image bytes -> the uint8 batch ``query_arrays``
+        consumes (same host decode path as RetrievalService)."""
+        size = self.input_size_hw
+        if self.ingest_format == "yuv420":
+            from ..data.transforms import decode_and_pack_yuv420_bytes
+
+            return np.stack(
+                [decode_and_pack_yuv420_bytes(b, size) for b in blobs]
+            )
+        from ..data.transforms import decode_and_resize_bytes
+
+        return np.stack([decode_and_resize_bytes(b, size) for b in blobs])
+
+    def query_bytes(self, blobs: Sequence[bytes]):
+        return self.query_arrays(self.ingest_bytes(blobs))
+
+
+def load_retriever(path: str) -> LoadedRetriever:
+    from jax import export as jexport
+
+    blob, meta, aux = _read_artifact_sections(path)
+    if meta.get("kind") != "retriever":
+        raise ValueError(f"{path}: artifact kind {meta.get('kind')!r}, "
+                         "expected 'retriever'")
+    if not aux:
+        raise ValueError(f"{path}: retriever artifact has no gallery aux "
+                         "section (truncated file?)")
+    return LoadedRetriever(jexport.deserialize(bytearray(blob)), meta, aux)
+
+
 # ---------------------------------------------------------------------
 # CLI flow (inference/export_model.py shim)
 # ---------------------------------------------------------------------
+
+def _check_int8_cache(cfg) -> str:
+    """Precondition-check the calibrated int8 artifact BEFORE the (slow)
+    checkpoint load; returns the .npz path."""
+    import os
+
+    from ..models.quantized import QuantizedEmbed
+
+    cache = cfg.TPU.INT8_CACHE_PATH
+    cache = QuantizedEmbed.npz_path(cache) if cache else ""
+    if not (cache and os.path.exists(cache)):
+        raise ValueError(
+            "int8 export needs a calibrated artifact: set "
+            "TPU.INT8_CACHE_PATH to the .npz written by a previous "
+            "serving/eval run (self-calibration at export time would "
+            "bake in whatever ad-hoc data happened to be around)"
+        )
+    return cache
+
+
+def _load_validated_qfn(cfg, model, cache: str):
+    """Load the int8 cache and REFUSE a stale identity — there is no data
+    at export time to recalibrate on, and a stale program frozen into an
+    artifact outlives every cache."""
+    from ..models.quantized import QuantizedEmbed, serving_identity
+
+    qfn = QuantizedEmbed.load(cache)
+    identity = serving_identity(cfg, model)
+    if qfn.extra_meta != identity:
+        raise ValueError(
+            f"int8 cache {cache} was calibrated for {qfn.extra_meta}, "
+            f"current config is {identity} — rebuild the cache before "
+            "exporting"
+        )
+    return qfn
+
 
 def export_from_config(cfg, output: str, *, batch_size: Optional[int] = None,
                        platforms: Sequence[str] = DEFAULT_PLATFORMS,
@@ -242,41 +547,13 @@ def export_from_config(cfg, output: str, *, batch_size: Optional[int] = None,
     the exported int8 program carries deployment-grade calibration from
     real data, e.g. a prior ``create_embeddings``/eval run), exports, and
     writes ``output``. Returns the meta dict."""
-    import os
-
     from .api import load_inference_model
 
-    cache = ""
-    if cfg.TPU.INT8_EVAL:
-        # precondition-check before the (slow) checkpoint load
-        from ..models.quantized import QuantizedEmbed
-
-        cache = cfg.TPU.INT8_CACHE_PATH
-        cache = QuantizedEmbed.npz_path(cache) if cache else ""
-        if not (cache and os.path.exists(cache)):
-            raise ValueError(
-                "int8 export needs a calibrated artifact: set "
-                "TPU.INT8_CACHE_PATH to the .npz written by a previous "
-                "serving/eval run (self-calibration at export time would "
-                "bake in whatever ad-hoc data happened to be around)"
-            )
-
+    cache = _check_int8_cache(cfg) if cfg.TPU.INT8_EVAL else ""
     model, params, batch_stats = load_inference_model(cfg)
     qfn = None
     if cfg.TPU.INT8_EVAL:
-        from ..models.quantized import QuantizedEmbed, serving_identity
-
-        qfn = QuantizedEmbed.load(cache)
-        identity = serving_identity(cfg, model)
-        if qfn.extra_meta != identity:
-            # unlike the serving flow (which recalibrates), export must
-            # refuse: there is no data here to recalibrate on, and a
-            # stale program frozen into an artifact outlives every cache
-            raise ValueError(
-                f"int8 cache {cache} was calibrated for {qfn.extra_meta}, "
-                f"current config is {identity} — rebuild the cache before "
-                "exporting"
-            )
+        qfn = _load_validated_qfn(cfg, model, cache)
         if batch_size is None:
             batch_size = int(cfg.TEST.IMS_PER_BATCH)
     blob, meta = export_embedder(
@@ -286,4 +563,46 @@ def export_from_config(cfg, output: str, *, batch_size: Optional[int] = None,
     save_artifact(output, blob, meta)
     log.info("wrote %s (%d bytes, platforms=%s, batch=%s)", output,
              len(blob), meta["platforms"], meta["batch_size"] or "symbolic")
+    return meta
+
+
+def export_retriever_from_config(
+    cfg, gallery_data: str, output: str, *,
+    k: int = 100,
+    batch_size: Optional[int] = None,
+    platforms: Sequence[str] = DEFAULT_PLATFORMS,
+    normalize: bool = True,
+) -> dict:
+    """Checkpoint + create_embeddings index -> ONE serving artifact.
+
+    ``gallery_data``: directory with ``embeddings.npy``/``paths.npy``
+    (the create_embeddings output — the artifacts the reference would
+    re-load with code+ckpt, create_embeddings.py:73-85). The written file
+    carries program + weights + gallery + paths; ``inference/serve.py
+    --artifact`` serves it with no checkpoint on disk."""
+    from pathlib import Path
+
+    from .api import load_inference_model
+
+    cache = _check_int8_cache(cfg) if cfg.TPU.INT8_EVAL else ""
+    load_path = Path(gallery_data)
+    emb = np.load(load_path / "embeddings.npy", allow_pickle=True)
+    paths = np.load(load_path / "paths.npy", allow_pickle=True)
+    model, params, batch_stats = load_inference_model(cfg)
+    qfn = None
+    if cfg.TPU.INT8_EVAL:
+        qfn = _load_validated_qfn(cfg, model, cache)
+    if batch_size is None:
+        batch_size = int(cfg.TEST.IMS_PER_BATCH)
+    blob, meta, aux = export_retriever(
+        model, cfg, params, batch_stats, emb, paths, k=k,
+        batch_size=batch_size, normalize=normalize, platforms=platforms,
+        int8_qfn=qfn,
+    )
+    save_artifact(output, blob, meta, aux=aux)
+    log.info(
+        "wrote %s (program %d + gallery %d bytes, platforms=%s, "
+        "gallery_size=%d, k=%d)", output, len(blob), len(aux),
+        meta["platforms"], meta["gallery_size"], meta["k"],
+    )
     return meta

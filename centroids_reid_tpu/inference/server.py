@@ -22,6 +22,11 @@ host-side decode/resize (GIL-releasing native path, data/transforms.py)
 runs in each request's thread, while the device dispatch is serialised
 by a lock — the chip executes one program at a time, so queueing at the
 dispatch boundary (not in the XLA client) keeps latency predictable.
+Overload bound: at most ``max_pending`` /search requests hold decoded
+batches at once (and the batcher queue holds at most ``max_queue``
+entries); past either bound requests are shed with HTTP 429 +
+Retry-After, so a burst cannot grow host memory or queueing delay
+without limit.
 Gallery mutation is intentionally absent: the gallery is a device-
 resident immutable index (rebuild + swap the service to update, the
 same lifecycle as the reference's create_embeddings artifacts).
@@ -51,49 +56,73 @@ import numpy as np
 MAX_BODY_BYTES = 256 << 20  # one POST; ~256 queries of phone-camera JPEGs
 
 
+class Overloaded(RuntimeError):
+    """Load-shed signal: the server is at its in-flight/queue bound —
+    mapped to HTTP 429 with a Retry-After, never an unbounded wait."""
+
+
 class _DynamicBatcher:
     """Coalesces concurrent query batches into single device dispatches.
 
-    Requests enqueue (imgs, Future); a worker drains the queue — it
-    blocks on the first entry, then keeps collecting until ``max_batch``
-    rows are staged or ``window_ms`` passed since the first entry — and
-    runs ONE ``service.query_arrays`` over the concatenated rows, then
-    splits the results back per request. FIFO order; a request larger
-    than ``max_batch`` still dispatches (alone) — query_arrays chunks it
-    internally against the score budget.
+    Requests enqueue (imgs, service, Future); a worker drains the queue —
+    it blocks on the first entry, then keeps collecting until
+    ``max_batch`` rows are staged or ``window_ms`` passed since the first
+    entry — and runs ONE ``query_arrays`` over the concatenated rows,
+    then splits the results back per request. FIFO order; a request
+    larger than ``max_batch`` still dispatches (alone) — query_arrays
+    chunks it internally against the score budget.
+
+    Each entry carries the SERVICE it was validated against (the
+    handler's snapshot), and a coalesced batch only ever spans entries of
+    one service generation: a swap_service between enqueue and dispatch
+    must not rank a request against a gallery with a different k, ingest
+    format, or input size than the one its payload was validated/decoded
+    for. On a generation boundary the staged batch dispatches on its own
+    service and the first new-generation entry starts the next batch.
+
+    ``max_queue`` bounds the queue; past it ``submit`` raises
+    ``Overloaded`` instead of growing host memory without limit.
     """
 
-    def __init__(self, service, window_ms: float = 2.0,
-                 max_batch: int = 256):
+    def __init__(self, window_ms: float = 2.0, max_batch: int = 256,
+                 max_queue: int = 64):
         import queue
 
-        self.service = service
         self.window_s = float(window_ms) / 1e3
         self.max_batch = int(max_batch)
-        self._q: "queue.Queue" = queue.Queue()
+        self._q: "queue.Queue" = queue.Queue(maxsize=int(max_queue))
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def submit(self, imgs: np.ndarray):
+    def submit(self, imgs: np.ndarray, service):
+        import queue
+
         fut: Future = Future()
-        self._q.put((imgs, fut))
+        try:
+            self._q.put_nowait((imgs, service, fut))
+        except queue.Full:
+            raise Overloaded(
+                f"batch queue full ({self._q.maxsize} requests waiting)"
+            )
         return fut.result()
 
     def stop(self):
         """Unblock and end the worker (server shutdown); queued requests
         ahead of the sentinel still complete."""
-        self._q.put(None)
+        self._q.put(None)  # blocking put: the sentinel must always land
         self._thread.join(10)
 
     def _worker(self):
         import queue
         import time
 
+        pending = None  # first entry of the next service generation
         while True:
-            first = self._q.get()  # block for the first request
+            first = pending if pending is not None else self._q.get()
+            pending = None
             if first is None:
                 return
-            imgs, fut = first
+            imgs, svc, fut = first
             staged = [(imgs, fut)]
             rows = imgs.shape[0]
             deadline = time.monotonic() + self.window_s
@@ -108,14 +137,19 @@ class _DynamicBatcher:
                 if nxt is None:  # shutdown sentinel: finish this batch
                     self._q.put(None)
                     break
-                staged.append(nxt)
+                if nxt[1] is not svc:
+                    # swap happened after nxt was validated against the
+                    # NEW service: close this batch on the old one
+                    pending = nxt
+                    break
+                staged.append((nxt[0], nxt[2]))
                 rows += nxt[0].shape[0]
             try:
                 batch = (
                     staged[0][0] if len(staged) == 1
                     else np.concatenate([s[0] for s in staged])
                 )
-                d, idx, paths = self.service.query_arrays(batch)
+                d, idx, paths = svc.query_arrays(batch)
                 off = 0
                 for s_imgs, s_fut in staged:
                     n = s_imgs.shape[0]
@@ -139,46 +173,80 @@ class RetrievalHTTPServer:
     """
 
     def __init__(self, service, host: str = "127.0.0.1", port: int = 8000,
-                 batch_window_ms: float = 0.0, max_batch: int = 256):
+                 batch_window_ms: float = 0.0, max_batch: int = 256,
+                 max_pending: int = 32, max_queue: int = 64):
+        """``max_pending`` bounds concurrent /search requests holding
+        decoded batches (the real host-memory cost: ThreadingHTTPServer
+        spawns a thread per connection, and without a bound a burst pins
+        one decoded batch per thread while every request waits forever
+        on the dispatch lock). Past the bound requests are shed with
+        HTTP 429 + Retry-After — bounded memory, bounded queueing delay.
+        ``max_queue`` additionally bounds the dynamic batcher's queue."""
         self.service = service
         self._dispatch_lock = threading.Lock()
+        self.max_pending = int(max_pending)
+        self._pending = 0
+        self._pending_lock = threading.Lock()
         self._batcher = (
-            _DynamicBatcher(service, batch_window_ms, max_batch)
+            _DynamicBatcher(batch_window_ms, max_batch, max_queue)
             if batch_window_ms > 0 else None
         )
         self._thread = None
         self._serving = False
         self._stats_lock = threading.Lock()
-        self._stats = {"requests": 0, "images": 0, "errors": 0}
+        self._stats = {"requests": 0, "images": 0, "errors": 0, "shed": 0}
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
         self.host, self.port = self.httpd.server_address[:2]
 
+    def _acquire_slot(self):
+        with self._pending_lock:
+            if self._pending >= self.max_pending:
+                raise Overloaded(
+                    f"{self._pending} requests in flight "
+                    f"(max_pending={self.max_pending})"
+                )
+            self._pending += 1
+
+    def _release_slot(self):
+        with self._pending_lock:
+            self._pending -= 1
+
     # -- request work (called from handler threads) -----------------------
-    def count(self, images: int = 0, error: bool = False):
+    def count(self, images: int = 0, error: bool = False,
+              shed: bool = False):
         with self._stats_lock:
             self._stats["requests"] += 1
             self._stats["images"] += images
             self._stats["errors"] += int(error)
+            self._stats["shed"] += int(shed)
 
     def health(self) -> dict:
         svc = self.service
         with self._stats_lock:
             stats = dict(self._stats)
+        with self._pending_lock:
+            pending = self._pending
         return {
             "status": "ok",
             "gallery_size": int(len(svc.paths)),
             "k": int(svc.k),
             "ingest": svc.ingest_format,
-            "model": svc.cfg.MODEL.NAME,
+            "model": svc.model_name,
             "batching": self._batcher is not None,
+            "pending": pending,
+            "max_pending": self.max_pending,
             **stats,
         }
 
     def search(self, payload: dict) -> dict:
-        # snapshot: one request must not straddle a swap_service (validate
-        # k, ingest and dispatch against ONE service generation)
+        # snapshot: one request must not straddle a swap_service — k and
+        # ingest are validated against THIS service, the decode uses its
+        # ingest format/size, and the dispatch (direct, or via the
+        # batcher entry that carries the snapshot) runs on the same
+        # generation; the old service's gallery stays device-resident
+        # until its last in-flight request completes
         svc = self.service
         imgs_b64 = payload.get("images_b64")
         if not isinstance(imgs_b64, list) or not imgs_b64:
@@ -197,20 +265,26 @@ class RetrievalHTTPServer:
             blobs = [base64.b64decode(s, validate=True) for s in imgs_b64]
         except (binascii.Error, TypeError) as e:
             raise BadRequest(f"invalid base64 image payload: {e}")
+        # the in-flight slot is held across decode AND dispatch: decoded
+        # batches are what actually cost host memory under a burst
+        self._acquire_slot()
         try:
-            # decode outside the lock (parallel across request threads),
-            # dispatch under it
-            imgs = svc.ingest_bytes(blobs)
-        except Exception as e:
-            raise BadRequest(f"undecodable image: {e}")
-        if self._batcher is not None:
-            # dynamic batching: this request's rows join the open window
-            # and come back from a coalesced dispatch (a window opened
-            # after a swap dispatches on the new service)
-            d, idx, paths = self._batcher.submit(imgs)
-        else:
-            with self._dispatch_lock:
-                d, idx, paths = svc.query_arrays(imgs)
+            try:
+                # decode outside the lock (parallel across request
+                # threads), dispatch under it
+                imgs = svc.ingest_bytes(blobs)
+            except Exception as e:
+                raise BadRequest(f"undecodable image: {e}")
+            if self._batcher is not None:
+                # dynamic batching: this request's rows join the open
+                # window and come back from a coalesced dispatch on the
+                # snapshot service
+                d, idx, paths = self._batcher.submit(imgs, svc)
+            else:
+                with self._dispatch_lock:
+                    d, idx, paths = svc.query_arrays(imgs)
+        finally:
+            self._release_slot()
         return {
             "results": [
                 {
@@ -269,13 +343,13 @@ class RetrievalHTTPServer:
         """Zero-downtime index refresh: atomically replace the resident
         gallery/service (the documented update lifecycle is rebuild +
         swap, matching the reference's create_embeddings artifact cycle).
-        In-flight dispatches finish on the old service; requests arriving
-        after the swap (and batcher windows opened after it) rank against
-        the new gallery. Counters persist across swaps."""
+        Requests that already snapshotted the old service — including
+        ones waiting in the batcher queue — dispatch and slice against
+        it (the batcher never mixes generations in one batch); requests
+        arriving after the swap rank against the new gallery. Counters
+        persist across swaps."""
         with self._dispatch_lock:
             self.service = new_service
-            if self._batcher is not None:
-                self._batcher.service = new_service
 
     def shutdown(self):
         # BaseServer.shutdown() waits on an event that only serve_forever
@@ -307,11 +381,13 @@ def _make_handler(server: RetrievalHTTPServer):
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
-        def _reply(self, code: int, obj: dict):
+        def _reply(self, code: int, obj: dict, retry_after: int = 0):
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if retry_after:
+                self.send_header("Retry-After", str(retry_after))
             self.end_headers()
             self.wfile.write(body)
 
@@ -356,6 +432,13 @@ def _make_handler(server: RetrievalHTTPServer):
                 out = server.search(payload)
                 server.count(images=len(out["results"]))
                 return self._reply(200, out)
+            except Overloaded as e:
+                # load shed: bounded memory + an honest signal beats an
+                # unbounded queue where every client times out
+                server.count(error=True, shed=True)
+                return self._reply(
+                    429, {"error": f"overloaded: {e}"}, retry_after=1
+                )
             except BadRequest as e:
                 server.count(error=True)
                 return self._reply(400, {"error": str(e)})
@@ -385,8 +468,14 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
     )
     parser.add_argument("--config_file", default="", type=str)
     parser.add_argument(
-        "--gallery_data", type=str, required=True,
+        "--gallery_data", type=str, default="",
         help="dir with embeddings.npy/paths.npy from create_embeddings",
+    )
+    parser.add_argument(
+        "--artifact", type=str, default="",
+        help="serve a retriever artifact (inference/export_model.py "
+        "--retriever): the one file carries program + weights + gallery, "
+        "so no checkpoint, model config, or gallery_data is needed",
     )
     parser.add_argument("--host", default="127.0.0.1", type=str)
     parser.add_argument("--port", default=8000, type=int)
@@ -408,8 +497,33 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
         "--max_batch", type=int, default=256,
         help="dynamic batching: max coalesced rows per dispatch",
     )
+    parser.add_argument(
+        "--max_pending", type=int, default=32,
+        help="max concurrent /search requests holding decoded batches; "
+             "beyond it requests are shed with HTTP 429",
+    )
+    parser.add_argument(
+        "--max_queue", type=int, default=64,
+        help="dynamic batching: max queued requests before shedding",
+    )
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args(argv)
+
+    if args.artifact:
+        # artifact serving: everything (program, weights, gallery, paths,
+        # ingest config) rides in the file — LoadedRetriever duck-types
+        # the service surface the server needs
+        from .export import load_retriever
+
+        retriever = load_retriever(args.artifact)
+        retriever.warmup()  # first request must not pay the compile
+        return RetrievalHTTPServer(
+            retriever, args.host, args.port,
+            batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+            max_pending=args.max_pending, max_queue=args.max_queue,
+        )
+    if not args.gallery_data:
+        raise SystemExit("one of --gallery_data or --artifact is required")
 
     cfg = get_default_cfg()
     if args.config_file:
@@ -467,6 +581,7 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
     return RetrievalHTTPServer(
         service, args.host, args.port,
         batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+        max_pending=args.max_pending, max_queue=args.max_queue,
     )
 
 

@@ -81,6 +81,7 @@ class RetrievalService:
         max_query_batch: int = 512,
         exact_rescore: bool = True,
         int8_qfn=None,
+        use_pallas: bool = True,
     ):
         """``int8_calib_imgs``: uint8 [N,H,W,3] sample of the query domain;
         when given, the embed stage runs the int8 PTQ path
@@ -88,7 +89,11 @@ class RetrievalService:
         ``int8_qfn``: alternatively, a prebuilt QuantizedEmbed (e.g. from
         the cfg-driven ``quantize_for_serving`` flow with its
         INT8_CACHE_PATH artifact reuse) — takes precedence over
-        ``int8_calib_imgs``."""
+        ``int8_calib_imgs``.
+        ``use_pallas=False`` pins the pure-XLA selection path (no
+        backend-gated Pallas kernels anywhere in the query program) —
+        the configuration ``export.export_retriever`` serializes for
+        cross-platform artifacts."""
         self.cfg = cfg
         self.k = int(min(k, len(gallery_paths)))
         self.normalize = normalize
@@ -226,7 +231,7 @@ class RetrievalService:
             # /root/reference/inference/get_similar.py:57), fp32 galleries
             # on the exact XLA score path. Round 2 routed k > 32 through
             # the ~4x slower chunked XLA fallback here.
-            val, idx = topk_select(eq, gf, gn, k_eff)
+            val, idx = topk_select(eq, gf, gn, k_eff, use_pallas=use_pallas)
             val, idx = val[: e.shape[0]], idx[: e.shape[0]]
             # exact re-score + sort of the winners in fp32 (the astype is
             # a no-op with the fp32 copy; with exact_rescore=False it
@@ -343,6 +348,13 @@ class RetrievalService:
         d = np.concatenate(ds)
         idx = np.concatenate(idxs)
         return d, idx, self.paths[idx]
+
+    @property
+    def model_name(self) -> str:
+        """Display name for /healthz — part of the duck-typed surface the
+        HTTP server accepts (RetrievalService or a LoadedRetriever
+        artifact, inference/export.py)."""
+        return str(self.cfg.MODEL.NAME)
 
     @property
     def ingest_format(self) -> str:

@@ -278,8 +278,14 @@ def _use_vmem_topk(w: int, k: int) -> bool:
     return tpu and w <= 32768 and k <= 1024
 
 
-def _hier_topk_build(scores, k: int):
+def _hier_topk_build(scores, k: int, use_pallas: bool = True):
     """Exact top-k-smallest via hierarchical group-min pruning.
+
+    ``use_pallas=False`` pins the pure-XLA base case (skips the
+    backend-gated ``_vmem_topk`` Pallas kernel): required when lowering
+    for multiple platforms at once (``jax.export`` serving artifacts
+    must not bake the trace-time backend decision into a cross-platform
+    module).
 
     Invariant (proof in docstring of topk_retrieval): the k smallest
     elements of a row live inside the k groups (of 8 consecutive columns)
@@ -297,7 +303,7 @@ def _hier_topk_build(scores, k: int):
     # pricier than one more (gather + small top_k) level. At 100k galleries
     # this means exactly one min level and ONE gather.
     if w <= max(16384, 8 * k):
-        if _use_vmem_topk(w, k):
+        if use_pallas and _use_vmem_topk(w, k):
             return _vmem_topk(scores, k)
         v, i = jax.lax.top_k(-scores, k)
         return -v, i
@@ -313,7 +319,7 @@ def _hier_topk_build(scores, k: int):
     # 128-lane register (16x waste). Any disjoint 8-partition satisfies the
     # pruning proof.
     gm = jnp.min(scores.reshape(q, 8, w8), axis=1)
-    _, gsel = _hier_topk_build(gm, k)                      # [Q, k] group ids
+    _, gsel = _hier_topk_build(gm, k, use_pallas)          # [Q, k] group ids
     cols = (gsel[:, :, None]
             + w8 * jax.lax.broadcasted_iota(jnp.int32, (q, k, 8), 2))
     cols = cols.reshape(q, k * 8)
@@ -496,7 +502,7 @@ def topk_select(qf, gf, gn_row, k: int, *, interpret: bool = False,
         scores = _scores_pallas_maybe_interpret(qf, gf, gn_row, interpret)
     else:
         scores = _scores_xla(qf, gf, gn_row)
-    return _hier_topk_build(scores, k)
+    return _hier_topk_build(scores, k, use_pallas)
 
 
 def topk_retrieval(

@@ -10,6 +10,12 @@ code, no checkpoint, no converter.
   python inference/export_model.py --config_file configs/256_resnet50.yml \\
       --output model.crtpu MODEL.PRETRAIN_PATH ckpt
 
+``--retriever --gallery_data /index`` exports the FULL serving pipeline
+instead: the one-dispatch embed + fused top-k program with the gallery
+rows + paths attached in the artifact (attach-at-load), served by
+``inference/serve.py --artifact`` with no checkpoint or index on the
+serving host (``centroids_reid_tpu.inference.load_retriever``).
+
 With TPU.INT8_EVAL True the exported program is the int8 PTQ pipeline
 (requires a calibrated TPU.INT8_CACHE_PATH artifact from a previous run).
 """
@@ -45,6 +51,22 @@ def main():
         "--no-normalize", action="store_true",
         help="skip the L2-normalize epilogue (raw BNNeck embeddings)",
     )
+    parser.add_argument(
+        "--retriever", action="store_true",
+        help="export the FULL serving pipeline (embed + fused top-k "
+        "against the gallery, with gallery rows + paths attached): "
+        "requires --gallery_data; serve it with inference/serve.py "
+        "--artifact",
+    )
+    parser.add_argument(
+        "--gallery_data", default="", type=str,
+        help="(--retriever) dir with embeddings.npy/paths.npy from "
+        "create_embeddings",
+    )
+    parser.add_argument(
+        "--topk", type=int, default=100,
+        help="(--retriever) ranking depth baked into the program",
+    )
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -53,11 +75,23 @@ def main():
         cfg.merge_from_file(args.config_file)
     cfg.merge_from_list(args.opts)
 
-    meta = export_from_config(
-        cfg, args.output, batch_size=args.batch_size,
-        platforms=tuple(p.strip() for p in args.platforms.split(",") if p),
-        normalize=not args.no_normalize,
-    )
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p)
+    if args.retriever:
+        if not args.gallery_data:
+            raise SystemExit("--retriever requires --gallery_data")
+        from centroids_reid_tpu.inference import export_retriever_from_config
+
+        meta = export_retriever_from_config(
+            cfg, args.gallery_data, args.output, k=args.topk,
+            batch_size=args.batch_size, platforms=platforms,
+            normalize=not args.no_normalize,
+        )
+    else:
+        meta = export_from_config(
+            cfg, args.output, batch_size=args.batch_size,
+            platforms=platforms,
+            normalize=not args.no_normalize,
+        )
     print(f"wrote {args.output}: {meta}")
 
 

@@ -20,6 +20,15 @@ the transcription against Table 2 when the paper is at hand; ``--expect``
 overrides any entry without editing this file). Standard-protocol
 (non-centroid) results are printed but not asserted by default: add
 ``--expect plain_mAP=0.xxx`` style overrides to gate them too.
+
+``--int8`` additionally gates DEPLOYMENT accuracy: it re-runs the same
+double evaluation through the int8 PTQ serving path (TPU.INT8_EVAL,
+engine/evaluate.py) and asserts every mAP / Top-1 is within
+``--int8-tol`` of the fp32 result (shortfall-only — an int8 result above
+fp32 passes). This turns the quantized artifact's protocol metrics into
+one pass/fail command, instead of trusting the embedding-cosine unit
+test as a proxy. Calibration flags (TPU.INT8_CACHE_PATH,
+TPU.INT8_CALIB_BATCHES, ...) pass through the trailing config overrides.
 """
 
 from __future__ import annotations
@@ -94,6 +103,16 @@ def main():
         help="override/add an expected entry, e.g. "
         "test_plain_mAP=0.856:0.01 (repeatable)",
     )
+    p.add_argument(
+        "--int8", action="store_true",
+        help="also evaluate through the int8 PTQ serving path and assert "
+        "its mAP/Top-1 within --int8-tol of the fp32 run",
+    )
+    p.add_argument(
+        "--int8-tol", type=float, default=0.01,
+        help="max allowed int8-vs-fp32 shortfall per gated metric "
+        "(absolute fraction; default 0.01 = one point)",
+    )
     p.add_argument("opts", nargs=argparse.REMAINDER,
                    help="trailing KEY VALUE config overrides")
     args = p.parse_args()
@@ -123,6 +142,22 @@ def main():
     print(f"\n=== parity vs arXiv:2104.13643 ({args.dataset}) ===")
     ok = check(results, expected)
     print("PARITY OK" if ok else "PARITY FAILED")
+
+    if args.int8:
+        # deployment-accuracy gate: the SAME double evaluation, embeddings
+        # from the int8 serving path (engine/evaluate.py:_maybe_int8_eval_fn)
+        cfg_q = cfg.clone()
+        cfg_q.TPU.INT8_EVAL = True
+        results_q = run_main(cfg_q, "ctl", "assert_parity_int8")
+        gated = {
+            m: (v, args.int8_tol) for m, v in results.items()
+            if m.endswith("mAP") or m.endswith("Top-1")
+        }
+        print(f"\n=== int8 deployment accuracy vs fp32 "
+              f"(tol {args.int8_tol}) ===")
+        ok_q = check(results_q, gated)
+        print("INT8 PARITY OK" if ok_q else "INT8 PARITY FAILED")
+        ok = ok and ok_q
     return 0 if ok else 1
 
 

@@ -103,11 +103,19 @@ def test_parity_gate_dry_run(tmp_path):
          "--dataset", "market1501",
          "--expect", "test_centroids_mAP=0.90:0.10",
          "--expect", "test_centroids_Top-1=0.90:0.10",
+         # deployment gate: the int8 serving path must land within tol of
+         # the fp32 metrics on the same separable fixture (loose tol: a
+         # 2-epoch tiny resnet18's int8 calibration wobbles more than a
+         # converged model's)
+         "--int8", "--int8-tol", "0.15",
          "MODEL.NAME", "resnet18", "MODEL.PRETRAINED", "False",
          "INPUT.SIZE_TEST", "[32,16]", "USE_MIXED_PRECISION", "False",
+         "TPU.INT8_CALIB_BATCHES", "1",
          "OUTPUT_DIR", str(tmp_path / "logs")],
-        capture_output=True, timeout=600, env=env, cwd=str(tmp_path),
+        capture_output=True, timeout=900, env=env, cwd=str(tmp_path),
     )
     assert out.returncode == 0, (out.stdout.decode()[-2000:],
                                  out.stderr.decode()[-2000:])
     assert b"PARITY OK" in out.stdout
+    assert b"Evaluation uses the int8 serving path" in out.stdout
+    assert b"INT8 PARITY OK" in out.stdout

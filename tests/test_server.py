@@ -557,3 +557,236 @@ def test_concurrent_requests_match_serial(served):
             np.testing.assert_allclose(
                 got_r["distances"], exp_r["distances"], rtol=0, atol=1e-5
             )
+
+
+def test_overload_shedding_bounded_429(served):
+    """Past max_pending concurrent /search requests, the server sheds with
+    HTTP 429 + Retry-After instead of queueing without bound; the shed
+    counter surfaces in /healthz and successful traffic resumes after."""
+    import threading
+    import time
+
+    server, svc, query, base = served
+    qfile = sorted(os.path.join(query, f) for f in os.listdir(query))[0]
+    payload = {"images_b64": [
+        base64.b64encode(open(qfile, "rb").read()).decode()
+    ]}
+    _post(base + "/search", payload)  # warm (compile outside the jam)
+
+    server.max_pending = 1
+    release = threading.Event()
+    orig = svc.query_arrays
+
+    def blocking(imgs):
+        release.wait(30)
+        return orig(imgs)
+
+    svc.query_arrays = blocking
+    try:
+        holder = threading.Thread(
+            target=_post, args=(base + "/search", payload)
+        )
+        holder.start()
+        deadline = time.time() + 10
+        while server._pending < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        assert server._pending == 1
+
+        # the slot is taken: every further request must shed immediately
+        for _ in range(3):
+            status, out = _post_err(
+                base + "/search", json.dumps(payload).encode()
+            )
+            assert status == 429, (status, out)
+            assert "overloaded" in out["error"]
+    finally:
+        release.set()
+        svc.query_arrays = orig
+        holder.join(60)
+        server.max_pending = 32
+
+    status, _ = _post(base + "/search", payload)   # service recovered
+    assert status == 200
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+        health = json.loads(r.read())
+    assert health["shed"] >= 3
+    assert health["pending"] == 0
+
+
+def test_retry_after_header_on_429(served):
+    """Clients need the Retry-After hint to back off correctly."""
+    import threading
+    import time
+
+    server, svc, query, base = served
+    qfile = sorted(os.path.join(query, f) for f in os.listdir(query))[0]
+    payload = json.dumps({"images_b64": [
+        base64.b64encode(open(qfile, "rb").read()).decode()
+    ]}).encode()
+    _post_err(base + "/search", payload)  # warm
+
+    server.max_pending = 0  # everything sheds
+    try:
+        req = urllib.request.Request(
+            base + "/search", data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected 429"
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+            assert e.headers.get("Retry-After") == "1"
+    finally:
+        server.max_pending = 32
+
+
+def test_swap_during_held_batch_window_differing_k_and_size(tmp_path):
+    """The round-3 race: a request validated (k clamp, ingest decode)
+    against the OLD service must also DISPATCH against it, even when a
+    swap_service lands while the request waits in the batcher queue
+    behind a held dispatch. The new service here has a different k AND a
+    different input size, so the old bug surfaces as short result lists
+    (silent) or a shape-mismatched np.concatenate (batch-wide failure).
+    """
+    import threading
+    import time
+
+    rng = np.random.RandomState(7)
+    g1 = tmp_path / "g1"
+    g2 = tmp_path / "g2"
+    g1.mkdir()
+    g2.mkdir()
+    for i in range(6):
+        Image.fromarray(
+            rng.randint(0, 255, (32, 16, 3), np.uint8)
+        ).save(g1 / f"one_{i}.jpg")
+        Image.fromarray(
+            rng.randint(0, 255, (48, 24, 3), np.uint8)
+        ).save(g2 / f"two_{i}.jpg")
+
+    cfg = _cfg(tmp_path)
+    model = create_model(cfg, num_classes=4)
+    state, _ = create_train_state(cfg, model, 4, seed=0)
+    mgr = CheckpointManager(str(tmp_path / "logs"))
+    mgr.save_periodic(0, state, cfg)
+    cfg.MODEL.PRETRAIN_PATH = mgr.latest_periodic()
+
+    from centroids_reid_tpu.inference import RetrievalService
+    from centroids_reid_tpu.inference.server import RetrievalHTTPServer
+
+    def build(gallery, out, k, size):
+        c = cfg.clone()
+        c.DATASETS.ROOT_DIR = str(gallery)
+        c.OUTPUT_DIR = str(tmp_path / out)
+        c.INPUT.SIZE_TEST = size
+        emb, paths = build_embeddings(c, images_in_subfolders=False)
+        return RetrievalService(
+            c, emb, paths, k=k, normalize=True, use_bf16_kernel=False
+        )
+
+    svc1 = build(g1, "o1", k=5, size=[32, 16])
+    svc2 = build(g2, "o2", k=2, size=[48, 24])
+
+    server = RetrievalHTTPServer(
+        svc1, port=0, batch_window_ms=300.0
+    ).start_background()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        img = open(g1 / "one_2.jpg", "rb").read()
+        payload = {"images_b64": [base64.b64encode(img).decode()],
+                   "k": 4}  # valid for svc1 (k=5), INVALID for svc2 (k=2)
+        _post(base + "/search", payload)  # warm both program shapes
+
+        # hold the batcher worker inside a dispatch so the next requests
+        # queue up in the window behind it
+        release = threading.Event()
+        dispatched = threading.Event()
+        orig1 = svc1.query_arrays
+
+        def blocking(imgs):
+            dispatched.set()
+            release.wait(30)
+            return orig1(imgs)
+
+        svc1.query_arrays = blocking
+        blocker = threading.Thread(
+            target=_post, args=(base + "/search", payload)
+        )
+        blocker.start()
+        assert dispatched.wait(10)
+
+        # these validate + decode against svc1 (32x16 ingest, k<=5) and
+        # sit in the batcher queue when the swap lands
+        held = [None, None]
+
+        def worker(i):
+            held[i] = _post(base + "/search", payload)
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        deadline = time.time() + 10
+        while server._batcher._q.qsize() < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        assert server._batcher._q.qsize() >= 2
+
+        server.swap_service(svc2)
+        release.set()
+
+        for t in threads:
+            t.join(120)
+        blocker.join(120)
+        svc1.query_arrays = orig1
+
+        # old-generation requests: full k=4 answers from gallery ONE
+        for status, out in held:
+            assert status == 200
+            r = out["results"][0]
+            assert len(r["paths"]) == 4, r
+            assert all(
+                os.path.basename(p).startswith("one_") for p in r["paths"]
+            )
+
+        # post-swap traffic validates against svc2: k=4 now rejected,
+        # k=2 ranks the 48x24 gallery
+        img2 = open(g2 / "two_3.jpg", "rb").read()
+        status, out = _post_err(base + "/search", json.dumps(
+            {"images_b64": [base64.b64encode(img2).decode()], "k": 4}
+        ).encode())
+        assert status == 400
+        status, out = _post(base + "/search", {
+            "images_b64": [base64.b64encode(img2).decode()], "k": 2
+        })
+        assert status == 200
+        assert all(
+            os.path.basename(p).startswith("two_")
+            for p in out["results"][0]["paths"]
+        )
+    finally:
+        server.shutdown()
+
+
+def test_batcher_queue_full_sheds(served):
+    """A full batcher queue raises Overloaded -> 429 instead of growing."""
+    server, svc, query, base = served
+    if server._batcher is None:
+        pytest.skip("direct variant has no batcher")
+    import queue as queue_mod
+
+    from centroids_reid_tpu.inference.server import Overloaded
+
+    # fill the bounded queue directly (no worker will drain these fake
+    # entries since they're behind a fake first entry? no — simpler: swap
+    # in a tiny full queue)
+    old_q = server._batcher._q
+    tiny = queue_mod.Queue(maxsize=1)
+    tiny.put_nowait("occupied")
+    server._batcher._q = tiny
+    try:
+        with pytest.raises(Overloaded):
+            server._batcher.submit(np.zeros((1, 32, 16, 3), np.uint8), svc)
+    finally:
+        server._batcher._q = old_q
