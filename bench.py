@@ -159,6 +159,82 @@ def _e2e_embed_imgs_per_sec(fast: bool = False) -> float:
     return best
 
 
+def _make_jpeg_corpus(n: int = 256):
+    import os
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    paths = []
+    for i in range(n):
+        p = os.path.join(tmp, f"{i:04d}.jpg")
+        Image.fromarray(
+            rng.randint(0, 255, (256, 128, 3), np.uint8)
+        ).save(p, "JPEG")
+        paths.append(p)
+    return paths
+
+
+def _ingest_roofline_rows() -> dict:
+    """Isolation measurement for the serving ingest (the fast-decode e2e
+    ceiling): DECODE-ONLY host rate vs DEVICE-ONLY dispatch rate on
+    pre-decoded batches. The interleaved e2e row can at best reach
+    min(decode, device) — on this ONE-core host the decoder is the
+    roofline, and these two rows prove where the e2e number sits against
+    it (the same isolation story that closed the int8 IBN-a question in
+    round 2)."""
+    import numpy as np
+
+    from centroids_reid_tpu.config import get_default_cfg
+    from centroids_reid_tpu.data.loader import ImageStore
+    from centroids_reid_tpu.engine.evaluate import make_embed_fn
+    from centroids_reid_tpu.models import create_model, init_model
+
+    cfg = get_default_cfg()
+    cfg.TPU.CACHE_IMAGES = False
+    cfg.TPU.FAST_DECODE = True
+    cfg.TEST.IMS_PER_BATCH = 256
+    size = tuple(cfg.INPUT.SIZE_TEST)
+    paths = _make_jpeg_corpus(256)
+    n = len(paths)
+
+    store = ImageStore(size, cache=False, fmt="yuv420")
+    buf = np.zeros((n, *store.item_shape()), np.uint8)
+    store.get_many(paths[:8], buf[:8], n_threads=4)  # warm the codec path
+    best_decode = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        store.get_many(paths, buf, n_threads=4)
+        best_decode = max(best_decode, n / (time.time() - t0))
+
+    # device-only: the SAME fused unpack+embed program over pre-decoded
+    # packed batches, 2-deep async pipeline like run_inference
+    model = create_model(cfg, num_classes=0)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), size)
+    embed = make_embed_fn(model, cfg, input_format="yuv420")
+    b = int(cfg.TEST.IMS_PER_BATCH)
+    batches = [buf[i:i + b] for i in range(0, n, b)]
+    float(np.asarray(embed(params, batch_stats, batches[0])).sum())  # warm
+    best_dev = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        pending = []
+        for x in batches:
+            pending.append(embed(params, batch_stats, x))
+            if len(pending) > 2:
+                np.asarray(pending.pop(0))
+        for e in pending:
+            np.asarray(e)
+        best_dev = max(best_dev, n / (time.time() - t0))
+    return {
+        "ingest_decode_only_imgs_per_sec": round(best_decode, 1),
+        "ingest_device_only_imgs_per_sec": round(best_dev, 1),
+    }
+
+
 def _int8_imgs_per_sec() -> float:
     """int8 PTQ serving path (models/quantized.py): uint8 in, same scanned
     single-dispatch shape as the headline."""
@@ -252,6 +328,7 @@ def _extra_rows():
          lambda: _retrieval_ms(jnp.bfloat16, 100)),
         ("retrieval_p50_ms_100k_k10_bf16",
          lambda: _retrieval_ms(jnp.bfloat16, 10)),
+        ("ingest_roofline", _ingest_roofline_rows),
         ("int8_eval_imgs_per_sec", _int8_imgs_per_sec),
         ("train_imgs_per_sec_bf16", lambda: _train_imgs_per_sec(True)),
         ("train_imgs_per_sec_fp32", lambda: _train_imgs_per_sec(False)),
@@ -266,7 +343,11 @@ def _extra_rows():
             out[name] = "skipped (time budget)"
             continue
         try:
-            out[name] = round(fn(), 3 if name.endswith("_ms") else 1)
+            v = fn()
+            if isinstance(v, dict):  # grouped rows (ingest roofline)
+                out.update(v)
+            else:
+                out[name] = round(v, 3 if name.endswith("_ms") else 1)
         except Exception as e:  # never break the headline contract
             out[name] = f"error {type(e).__name__}: {e}"
     return out

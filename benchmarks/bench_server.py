@@ -43,6 +43,46 @@ def _p50(fn, reps):
     return ts[len(ts) // 2]
 
 
+def _concurrent_load(url, payload, n_clients, reps_per_client):
+    """N threads each issue sequential POSTs; returns (lat_sorted, total_s,
+    n_ok, n_shed). Shed (429) responses count separately — under the
+    bounded-queue server they are the correct overload behaviour."""
+    import threading
+    import urllib.error
+
+    lats, shed = [], [0]
+    lock = threading.Lock()
+
+    def client():
+        for _ in range(reps_per_client):
+            t0 = time.time()
+            req = urllib.request.Request(
+                url, data=payload,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    r.read()
+                with lock:
+                    lats.append(time.time() - t0)
+            except urllib.error.HTTPError as e:
+                e.read()
+                with lock:
+                    shed[0] += 1
+                if e.code != 429:
+                    raise
+
+    threads = [threading.Thread(target=client) for _ in range(n_clients)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    total = time.time() - t0
+    lats.sort()
+    return lats, total, len(lats), shed[0]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--gallery", type=int, default=100_000)
@@ -50,6 +90,14 @@ def main():
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--reps", type=int, default=30)
     p.add_argument("--fp32_exact", action="store_true")
+    p.add_argument(
+        "--concurrency", type=int, default=8,
+        help="clients for the concurrent-load phase (0 skips it)",
+    )
+    p.add_argument(
+        "--batch_window_ms", type=float, default=4.0,
+        help="dynamic-batching window for the concurrent phase",
+    )
     args = p.parse_args()
 
     cfg = get_default_cfg()
@@ -99,13 +147,43 @@ def main():
     http = _p50(http_call, args.reps)
     server.shutdown()
 
-    print(json.dumps({
+    out = {
         "gallery": args.gallery, "queries": args.queries, "k": args.k,
         "kernel": "fp32_exact" if args.fp32_exact else "bf16",
         "direct_p50_ms": round(direct * 1e3, 3),
         "http_p50_ms": round(http * 1e3, 3),
         "http_overhead_ms": round((http - direct) * 1e3, 3),
-    }))
+    }
+
+    if args.concurrency > 0:
+        # concurrent clients against a dynamically-batching server: the
+        # production configuration (requests coalesce into shared
+        # dispatches; overload past the bounds sheds with 429)
+        single = json.dumps(
+            {"images_b64": [base64.b64encode(blobs[0]).decode()]}
+        ).encode()
+        server2 = RetrievalHTTPServer(
+            svc, port=0, batch_window_ms=args.batch_window_ms,
+        ).start_background()
+        url2 = f"http://127.0.0.1:{server2.port}/search"
+        # deterministic warmup: compile every power-of-two bucket the
+        # load phase can produce (the production --warmup_buckets flow)
+        server2.warmup_buckets(args.concurrency)
+        _concurrent_load(url2, single, 2, 2)  # prime connections/threads
+        lats, total, n_ok, n_shed = _concurrent_load(
+            url2, single, args.concurrency, args.reps
+        )
+        server2.shutdown()
+        out.update({
+            "concurrency": args.concurrency,
+            "concurrent_req_per_sec": round(n_ok / total, 1),
+            "concurrent_p50_ms": round(lats[len(lats) // 2] * 1e3, 1),
+            "concurrent_p99_ms": round(
+                lats[min(len(lats) - 1, int(len(lats) * 0.99))] * 1e3, 1
+            ),
+            "concurrent_shed": n_shed,
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -61,6 +61,15 @@ class Overloaded(RuntimeError):
     mapped to HTTP 429 with a Retry-After, never an unbounded wait."""
 
 
+def _bucket_rows(n: int) -> int:
+    """Next power of two >= n: the dispatch shape a coalesced batch pads
+    to, capping the compiled-program set at log2(max_batch) sizes."""
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
+
+
 class _DynamicBatcher:
     """Coalesces concurrent query batches into single device dispatches.
 
@@ -82,6 +91,15 @@ class _DynamicBatcher:
 
     ``max_queue`` bounds the queue; past it ``submit`` raises
     ``Overloaded`` instead of growing host memory without limit.
+
+    Coalesced batches are zero-padded up to the next power of two
+    (pad rows dropped on the way out): XLA compiles one executable per
+    distinct batch shape, so raw coalescing would compile a fresh
+    program for every row-count the traffic happens to produce — a
+    multi-second compile IN the serving path per new size (measured:
+    53 s p99 on first exposure of a new size at a 100k gallery).
+    Bucketing caps the shape set at log2(max_batch) programs; rows are
+    embed/rank-independent, so padding never changes real rows' results.
     """
 
     def __init__(self, window_ms: float = 2.0, max_batch: int = 256,
@@ -149,6 +167,12 @@ class _DynamicBatcher:
                     staged[0][0] if len(staged) == 1
                     else np.concatenate([s[0] for s in staged])
                 )
+                pad = _bucket_rows(batch.shape[0]) - batch.shape[0]
+                if pad:
+                    batch = np.concatenate([
+                        batch,
+                        np.zeros((pad, *batch.shape[1:]), batch.dtype),
+                    ])
                 d, idx, paths = svc.query_arrays(batch)
                 off = 0
                 for s_imgs, s_fut in staged:
@@ -339,6 +363,30 @@ class RetrievalHTTPServer:
         self._thread.start()
         return self
 
+    def warmup_buckets(self, max_rows: int = 0) -> None:
+        """Pre-compile every dispatch shape traffic can produce: the
+        power-of-two buckets up to ``max_rows`` (default: the batcher's
+        ``max_batch``, or 1 without batching). Run at startup so no
+        request ever pays an XLA/Mosaic compile (the serving analogue of
+        LoadedEmbedder.warmup)."""
+        svc = self.service
+        if not max_rows:
+            max_rows = self._batcher.max_batch if self._batcher else 1
+        if self.service.ingest_format == "yuv420":
+            h, w = (int(v) for v in svc.cfg.INPUT.SIZE_TEST)
+            shape_tail = (h * w * 3 // 2,)
+        elif hasattr(svc, "input_size_hw"):   # LoadedRetriever
+            shape_tail = (*svc.input_size_hw, 3)
+        else:
+            h, w = (int(v) for v in svc.cfg.INPUT.SIZE_TEST)
+            shape_tail = (h, w, 3)
+        b = 1
+        while True:
+            svc.query_arrays(np.zeros((b, *shape_tail), np.uint8))
+            if b >= max_rows:
+                break
+            b <<= 1
+
     def swap_service(self, new_service) -> None:
         """Zero-downtime index refresh: atomically replace the resident
         gallery/service (the documented update lifecycle is rebuild +
@@ -506,6 +554,11 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
         "--max_queue", type=int, default=64,
         help="dynamic batching: max queued requests before shedding",
     )
+    parser.add_argument(
+        "--warmup_buckets", type=int, default=0,
+        help="pre-compile the power-of-two dispatch shapes up to N rows "
+             "before serving (no request pays an XLA compile); 0 = off",
+    )
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args(argv)
 
@@ -578,11 +631,14 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
         mesh=mesh,
         int8_qfn=qfn,
     )
-    return RetrievalHTTPServer(
+    server = RetrievalHTTPServer(
         service, args.host, args.port,
         batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
         max_pending=args.max_pending, max_queue=args.max_queue,
     )
+    if args.warmup_buckets:
+        server.warmup_buckets(args.warmup_buckets)
+    return server
 
 
 def main(argv=None):

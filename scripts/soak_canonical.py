@@ -1,0 +1,259 @@
+#!/usr/bin/env python
+"""Canonical 120-epoch dress rehearsal as a SYSTEM soak.
+
+Runs the reference's canonical Market1501 CTL recipe
+(train_scripts/market1501/train_ctl_model_s_r50_market1501.sh +
+configs/256_resnet50.yml: ResNet-50 256x128 fp32, P=16 x K=4, Adam
+3.5e-4, MultiStep(40,70)x0.1, 10-epoch warmup, EVAL_PERIOD 5) end to end
+on a synthetic Market-SCALE dataset (751 pids / ~12.8k train / ~3k query
+/ ~15.8k gallery, separable colour+noise), exercising the whole system
+the way a production run would:
+
+1. train to ``--preempt-at`` epochs, then SIGTERM -> graceful preemption
+   checkpoint (utils/preemption.py);
+2. resume from the preemption checkpoint and run to 120 + the final
+   double test (centroids on/off, /root/reference/utils/misc.py:159-161);
+3. per-epoch wall-time series from both runs (the resume seam and any
+   recompile shows up as an outlier);
+4. the accuracy-parity gate dry-run (scripts/assert_parity.py, incl. the
+   --int8 deployment gate) on the resulting best checkpoint.
+
+Emits ONE JSON line with the epoch-time stats, metric trajectory and
+gate results. Divergence from the canonical recipe: MODEL.PRETRAINED
+False — no ImageNet weights ship in this environment (the reference
+downloads them, modelling/baseline.py:84-87).
+
+Usage:  python scripts/soak_canonical.py --work /tmp/soak [--epochs 120]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N_PIDS = 751
+TRAIN_PER_PID = 17     # 751*17 = 12,767  (Market: 12,936)
+QUERY_PER_PID = 4      # 751*4  = 3,004   (Market: 3,368)
+GALLERY_PER_PID = 21   # 751*21 = 15,771  (Market: 15,913)
+
+
+def make_dataset(root: str, hw=(256, 128)) -> None:
+    """Market-scale separable synthetic set in market1501 layout (one
+    solid colour per pid + noise; camid patterns keep every query
+    matchable under the same-pid+camid removal rule)."""
+    import numpy as np
+    from PIL import Image
+
+    base = os.path.join(root, "market1501")
+    done = os.path.join(base, ".soak_complete")
+    if os.path.exists(done):
+        print(f"dataset already at {base}")
+        return
+    rng = np.random.RandomState(0)
+    # colours on a 3d grid with margin >> noise so 751 classes separate
+    grid = np.linspace(25, 230, 10).astype(np.int64)
+    colors = np.stack(np.meshgrid(grid, grid, grid), -1).reshape(-1, 3)
+    colors = colors[rng.permutation(len(colors))[:N_PIDS]]
+    for sub in ("bounding_box_train", "query", "bounding_box_test"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+
+    t0 = time.time()
+    for pid in range(N_PIDS):
+        c = colors[pid][None, None, :]
+
+        def write(subdir, camid, i):
+            arr = np.clip(
+                c + rng.randint(-18, 18, (hw[0], hw[1], 3)), 0, 255
+            ).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(
+                base, subdir, f"{pid + 1:04d}_c{camid}s1_{i:06d}_00.jpg"
+            ), "JPEG", quality=80)
+
+        for i in range(TRAIN_PER_PID):
+            write("bounding_box_train", (i % 6) + 1, i)
+        for i in range(QUERY_PER_PID):
+            write("query", 1, 1000 + i)
+        for i in range(GALLERY_PER_PID):
+            write("bounding_box_test", (i % 5) + 2, 2000 + i)
+        if pid % 100 == 0:
+            print(f"  pid {pid}/{N_PIDS} ({time.time() - t0:.0f}s)",
+                  flush=True)
+    open(done, "w").write("ok")
+    print(f"dataset written in {time.time() - t0:.0f}s")
+
+
+CANONICAL = [
+    "--config_file", os.path.join(ROOT, "configs", "256_resnet50.yml"),
+    "DATASETS.NAMES", "market1501",
+    "SOLVER.IMS_PER_BATCH", "16",
+    "TEST.IMS_PER_BATCH", "128",
+    "SOLVER.BASE_LR", "0.00035",
+    "DATALOADER.USE_RESAMPLING", "False",
+    "MODEL.USE_CENTROIDS", "True",
+    "MODEL.PRETRAINED", "False",   # no ImageNet weights in this env
+    "REPRODUCIBLE_NUM_RUNS", "1",
+]
+
+
+def launch(extra, log_path):
+    lf = open(log_path, "ab")
+    return subprocess.Popen(
+        [sys.executable, os.path.join(ROOT, "train_ctl_model.py")]
+        + CANONICAL + extra,
+        stdout=lf, stderr=subprocess.STDOUT, cwd=ROOT,
+    ), lf
+
+
+EPOCH_RE = re.compile(
+    r"epoch (\d+): loss=([\d.]+).*\(([\d.]+)s\)"
+)
+
+
+def tail_epochs(log_path):
+    out = {}
+    try:
+        text = open(log_path, errors="replace").read()
+    except OSError:
+        return out
+    for m in EPOCH_RE.finditer(text):
+        out[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/soak")
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--preempt-at", type=int, default=51,
+                    help="SIGTERM once this epoch's line appears")
+    ap.add_argument("--skip-parity-gate", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(args.work, exist_ok=True)
+    ds = os.path.join(args.work, "data")
+    make_dataset(ds)
+    out_dir = os.path.join(args.work, "logs")
+    log = os.path.join(args.work, "train.log")
+    common = ["DATASETS.ROOT_DIR", ds,
+              "SOLVER.MAX_EPOCHS", str(args.epochs),
+              "OUTPUT_DIR", out_dir]
+
+    # ---- phase 1: train until the preemption signal ----------------------
+    t0 = time.time()
+    proc, lf = launch(common, log)
+    preempted_epoch = None
+    try:
+        while proc.poll() is None:
+            ep = tail_epochs(log)
+            if ep and max(ep) >= args.preempt_at:
+                preempted_epoch = max(ep)
+                print(f"sending SIGTERM at epoch {preempted_epoch}",
+                      flush=True)
+                proc.send_signal(signal.SIGTERM)
+                break
+            time.sleep(10)
+        rc = proc.wait(timeout=900)
+    finally:
+        lf.close()
+    if preempted_epoch is None:
+        raise SystemExit(f"run ended (rc={rc}) before epoch "
+                         f"{args.preempt_at} — see {log}")
+    if rc != 0:
+        raise SystemExit(f"preempted run exited {rc} — see {log}")
+    text = open(log, errors="replace").read()
+    assert "Preemption signal received" in text, "no graceful preemption"
+    epochs_a = tail_epochs(log)
+
+    ckpt_dir = os.path.join(out_dir, "auto_checkpoints")
+    ckpts = sorted(
+        (d for d in os.listdir(ckpt_dir) if d.startswith("checkpoint_epoch")),
+        key=lambda d: int(d.rsplit("epoch", 1)[1]),
+    )
+    resume_from = os.path.join(ckpt_dir, ckpts[-1])
+    print(f"phase 1 done in {time.time() - t0:.0f}s; resume from "
+          f"{resume_from}", flush=True)
+
+    # ---- phase 2: resume to completion + final double test ---------------
+    t1 = time.time()
+    log2 = os.path.join(args.work, "resume.log")
+    proc, lf = launch(
+        common + ["MODEL.RESUME_TRAINING", "True",
+                  "MODEL.PRETRAIN_PATH", resume_from], log2,
+    )
+    try:
+        rc = proc.wait()
+    finally:
+        lf.close()
+    if rc != 0:
+        raise SystemExit(f"resumed run exited {rc} — see {log2}")
+    text2 = open(log2, errors="replace").read()
+    assert "Resumed from" in text2
+    epochs_b = tail_epochs(log2)
+    # final double test = centroid AND plain eval blocks at the end
+    n_centroid_evals = text2.count("Evaluation is done using centroids")
+    print(f"phase 2 done in {time.time() - t1:.0f}s", flush=True)
+
+    # ---- phase 3: parity-gate dry-run on the result ----------------------
+    gate = "skipped"
+    if not args.skip_parity_gate:
+        best_dir = os.path.join(out_dir, "checkpoints")
+        best = None
+        if os.path.isdir(best_dir):
+            cand = sorted(os.listdir(best_dir))
+            best = os.path.join(best_dir, cand[-1]) if cand else None
+        target = best or resume_from
+        r = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "scripts",
+                                          "assert_parity.py"),
+             "--config_file",
+             os.path.join(ROOT, "configs", "256_resnet50.yml"),
+             "--ckpt", target, "--root", ds, "--dataset", "market1501",
+             "--expect", "test_centroids_mAP=0.95:0.05",
+             "--expect", "test_centroids_Top-1=0.95:0.05",
+             "--int8", "--int8-tol", "0.05",
+             "MODEL.PRETRAINED", "False", "TEST.IMS_PER_BATCH", "128",
+             "TPU.INT8_CALIB_BATCHES", "2",
+             "OUTPUT_DIR", os.path.join(args.work, "gate_logs")],
+            capture_output=True, cwd=ROOT, timeout=3600,
+        )
+        gate = "PASS" if r.returncode == 0 else "FAIL"
+        open(os.path.join(args.work, "gate.log"), "wb").write(
+            r.stdout + r.stderr
+        )
+
+    # ---- summary ---------------------------------------------------------
+    times_a = [t for _, (_, t) in sorted(epochs_a.items())]
+    times_b = [t for e, (_, t) in sorted(epochs_b.items())
+               if e > max(epochs_a)]
+    all_t = times_a[1:] + times_b  # epoch 0 carries the compile
+    import statistics
+
+    summary = {
+        "epochs_total": args.epochs,
+        "preempted_at": preempted_epoch,
+        "resume_from": os.path.basename(resume_from),
+        "epoch0_s": times_a[0] if times_a else None,
+        "steady_epoch_s_median": round(statistics.median(all_t), 2),
+        "steady_epoch_s_max": round(max(all_t), 2),
+        "first_resumed_epoch_s": round(times_b[0], 2) if times_b else None,
+        "total_wall_s": round(time.time() - t0, 1),
+        "final_double_test": n_centroid_evals >= 1 and "mAP" in text2,
+        "parity_gate": gate,
+        "losses_tail": [
+            round(loss, 4) for _, (loss, _) in sorted(epochs_b.items())
+        ][-5:],
+    }
+    print("SOAK " + json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

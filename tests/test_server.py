@@ -301,7 +301,13 @@ def test_dynamic_batching_coalesces_dispatches(served):
     assert len(calls) < 1 + len(payloads), calls
     assert max(calls) > 1, calls               # a real multi-request batch
     calls = calls[1:]                          # drop the blocker's row
-    assert sum(calls) == len(payloads)         # every row dispatched once
+    # coalesced dispatches pad to power-of-two buckets (bounded program
+    # set); real rows dispatched exactly once => padded total covers them
+    from centroids_reid_tpu.inference.server import _bucket_rows
+
+    assert all(c == _bucket_rows(c) for c in calls), calls
+    # every real row dispatched once; a pow2 bucket holds > half real rows
+    assert len(payloads) <= sum(calls) < 2 * len(payloads) + len(calls)
     # and each request still got ITS result: top-1 = its own gallery twin
     for (status, out), p in zip(results, payloads * 1):
         assert status == 200
@@ -790,3 +796,20 @@ def test_batcher_queue_full_sheds(served):
             server._batcher.submit(np.zeros((1, 32, 16, 3), np.uint8), svc)
     finally:
         server._batcher._q = old_q
+
+
+def test_warmup_buckets_precompiles_dispatch_shapes(served):
+    """warmup_buckets compiles every power-of-two dispatch shape up front,
+    so no subsequent request (any coalesced size <= the bound) triggers a
+    compile in the serving path."""
+    server, svc, query, base = served
+    server.warmup_buckets(4)               # shapes 1, 2, 4
+    cache = svc._run._cache_size()
+    assert cache >= 3
+
+    qfiles = sorted(os.path.join(query, f) for f in os.listdir(query))
+    blobs = [open(qfiles[0], "rb").read(), open(qfiles[1], "rb").read()]
+    _post(base + "/search", {
+        "images_b64": [base64.b64encode(b).decode() for b in blobs],
+    })
+    assert svc._run._cache_size() == cache  # no compile on request
