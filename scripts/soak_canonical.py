@@ -98,6 +98,7 @@ CANONICAL = [
     "TEST.IMS_PER_BATCH", "128",
     "SOLVER.BASE_LR", "0.00035",
     "DATALOADER.USE_RESAMPLING", "False",
+    "USE_MIXED_PRECISION", "False",  # fp32, per the reference script
     "MODEL.USE_CENTROIDS", "True",
     "MODEL.PRETRAINED", "False",   # no ImageNet weights in this env
     "REPRODUCIBLE_NUM_RUNS", "1",

@@ -410,3 +410,48 @@ def test_retriever_artifact_serves_without_checkpoint(tmp_path):
         finally:
             if proc.poll() is None:
                 proc.kill()
+
+
+def test_retriever_int8_roundtrip(tmp_path):
+    """Retriever artifact with the int8 PTQ embed stage baked in: results
+    must match the live int8 RetrievalService (same qfn), proving the
+    quantized one-dispatch pipeline survives export."""
+    from centroids_reid_tpu.inference import RetrievalService
+    from centroids_reid_tpu.inference.export import (
+        export_retriever,
+        load_retriever,
+    )
+    from centroids_reid_tpu.models.quantized import quantize_reid_model
+
+    cfg = _cfg()
+    model, params, batch_stats = _tiny_model(cfg)
+    rng = np.random.RandomState(8)
+    calib = rng.randint(0, 256, (8, 32, 16, 3), np.uint8)
+    qfn = quantize_reid_model(
+        model, params, batch_stats, [calib],
+        cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+    )
+    emb = rng.randn(24, 512).astype(np.float32)
+    paths = np.array([f"g{i}" for i in range(24)])
+    svc = RetrievalService(
+        cfg, emb, paths, k=4, normalize=True, use_bf16_kernel=False,
+        model_bundle=(model, params, batch_stats), int8_qfn=qfn,
+    )
+    blob, meta, aux = export_retriever(
+        model, cfg, params, batch_stats, emb, paths, k=4, batch_size=4,
+        platforms=("cpu",), int8_qfn=qfn,
+    )
+    assert meta["quantized"] is True and meta["ingest"] == "rgb"
+    path = str(tmp_path / "int8_retriever.crtpu")
+    save_artifact(path, blob, meta, aux=aux)
+    ret = load_retriever(path)
+
+    imgs = rng.randint(0, 256, (4, 32, 16, 3), np.uint8)
+    d_s, i_s, _ = svc.query_arrays(imgs)
+    d_a, i_a, _ = ret.query_arrays(imgs)
+    # int8 export is not bit-exact (constant-folding changes float
+    # association at quantization boundaries — see
+    # test_export_int8_program); the ranking contract is agreement on
+    # clear winners: top-1 must match, distances close
+    assert (i_a[:, 0] == i_s[:, 0]).all()
+    np.testing.assert_allclose(d_a, d_s, atol=5e-2)

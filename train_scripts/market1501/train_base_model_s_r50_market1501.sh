@@ -9,5 +9,6 @@ TEST.IMS_PER_BATCH 128 \
 SOLVER.BASE_LR 0.00035 \
 OUTPUT_DIR './logs/market1501/256_resnet50_base' \
 DATALOADER.USE_RESAMPLING True \
+USE_MIXED_PRECISION False \
 MODEL.USE_CENTROIDS False \
 REPRODUCIBLE_NUM_RUNS 1

@@ -9,4 +9,5 @@ TEST.IMS_PER_BATCH 128 \
 SOLVER.BASE_LR 0.00035 \
 OUTPUT_DIR './logs/market1501/256_resnet50' \
 DATALOADER.USE_RESAMPLING False \
+USE_MIXED_PRECISION False \
 MODEL.USE_CENTROIDS True
