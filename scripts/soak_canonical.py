@@ -29,6 +29,7 @@ Usage:  python scripts/soak_canonical.py --work /tmp/soak [--epochs 120]
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import re
@@ -119,6 +120,45 @@ EPOCH_RE = re.compile(
 )
 
 
+def version_dirs(out_dir):
+    """Run version dirs under OUTPUT_DIR, oldest first. The runner nests
+    output at <OUTPUT_DIR>/<experiment>/version_N (engine/runner.py:79 via
+    allocate_version_dir) and CheckpointManager roots auto_checkpoints/ +
+    checkpoints/ at that version dir (engine/checkpoint.py:61-62)."""
+    dirs = glob.glob(os.path.join(out_dir, "*", "version_*"))
+    return sorted(dirs, key=lambda d: (os.path.getmtime(d), d))
+
+
+def find_preempt_ckpt(out_dir):
+    """Latest graceful-preemption checkpoint across all run versions."""
+    best = None
+    for vd in version_dirs(out_dir):
+        auto = os.path.join(vd, "auto_checkpoints")
+        if not os.path.isdir(auto):
+            continue
+        for d in os.listdir(auto):
+            m = re.fullmatch(r"checkpoint_epoch(\d+)", d)
+            if m and os.path.isdir(os.path.join(auto, d)):
+                ep = int(m.group(1))
+                if best is None or ep > best[0]:
+                    best = (ep, os.path.join(auto, d))
+    return best[1] if best else None
+
+
+def find_best_ckpt(out_dir):
+    """Most recent best-metric checkpoint (checkpoints/epoch=N)."""
+    for vd in reversed(version_dirs(out_dir)):
+        bd = os.path.join(vd, "checkpoints")
+        if os.path.isdir(bd):
+            cand = sorted(
+                os.listdir(bd),
+                key=lambda d: int(re.sub(r"\D", "", d) or 0),
+            )
+            if cand:
+                return os.path.join(bd, cand[-1])
+    return None
+
+
 def tail_epochs(log_path):
     out = {}
     try:
@@ -137,6 +177,9 @@ def main():
     ap.add_argument("--preempt-at", type=int, default=51,
                     help="SIGTERM once this epoch's line appears")
     ap.add_argument("--skip-parity-gate", action="store_true")
+    ap.add_argument("--reuse-phase1", action="store_true",
+                    help="skip phase 1 if an earlier run already left a "
+                         "preempted train.log + checkpoint in --work")
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
@@ -150,36 +193,41 @@ def main():
 
     # ---- phase 1: train until the preemption signal ----------------------
     t0 = time.time()
-    proc, lf = launch(common, log)
-    preempted_epoch = None
-    try:
-        while proc.poll() is None:
-            ep = tail_epochs(log)
-            if ep and max(ep) >= args.preempt_at:
-                preempted_epoch = max(ep)
-                print(f"sending SIGTERM at epoch {preempted_epoch}",
-                      flush=True)
-                proc.send_signal(signal.SIGTERM)
-                break
-            time.sleep(10)
-        rc = proc.wait(timeout=900)
-    finally:
-        lf.close()
-    if preempted_epoch is None:
-        raise SystemExit(f"run ended (rc={rc}) before epoch "
-                         f"{args.preempt_at} — see {log}")
-    if rc != 0:
-        raise SystemExit(f"preempted run exited {rc} — see {log}")
-    text = open(log, errors="replace").read()
-    assert "Preemption signal received" in text, "no graceful preemption"
-    epochs_a = tail_epochs(log)
+    reusing = (args.reuse_phase1 and os.path.exists(log)
+               and "Preemption signal received"
+               in open(log, errors="replace").read()
+               and find_preempt_ckpt(out_dir) is not None)
+    if reusing:
+        print("reusing completed phase 1 from an earlier run", flush=True)
+        epochs_a = tail_epochs(log)
+        preempted_epoch = max(epochs_a)
+    else:
+        proc, lf = launch(common, log)
+        preempted_epoch = None
+        try:
+            while proc.poll() is None:
+                ep = tail_epochs(log)
+                if ep and max(ep) >= args.preempt_at:
+                    preempted_epoch = max(ep)
+                    print(f"sending SIGTERM at epoch {preempted_epoch}",
+                          flush=True)
+                    proc.send_signal(signal.SIGTERM)
+                    break
+                time.sleep(10)
+            rc = proc.wait(timeout=900)
+        finally:
+            lf.close()
+        if preempted_epoch is None:
+            raise SystemExit(f"run ended (rc={rc}) before epoch "
+                             f"{args.preempt_at} — see {log}")
+        if rc != 0:
+            raise SystemExit(f"preempted run exited {rc} — see {log}")
+        text = open(log, errors="replace").read()
+        assert "Preemption signal received" in text, "no graceful preemption"
+        epochs_a = tail_epochs(log)
 
-    ckpt_dir = os.path.join(out_dir, "auto_checkpoints")
-    ckpts = sorted(
-        (d for d in os.listdir(ckpt_dir) if d.startswith("checkpoint_epoch")),
-        key=lambda d: int(d.rsplit("epoch", 1)[1]),
-    )
-    resume_from = os.path.join(ckpt_dir, ckpts[-1])
+    resume_from = find_preempt_ckpt(out_dir)
+    assert resume_from, f"no auto_checkpoints/checkpoint_epoch* under {out_dir}"
     print(f"phase 1 done in {time.time() - t0:.0f}s; resume from "
           f"{resume_from}", flush=True)
 
@@ -206,12 +254,7 @@ def main():
     # ---- phase 3: parity-gate dry-run on the result ----------------------
     gate = "skipped"
     if not args.skip_parity_gate:
-        best_dir = os.path.join(out_dir, "checkpoints")
-        best = None
-        if os.path.isdir(best_dir):
-            cand = sorted(os.listdir(best_dir))
-            best = os.path.join(best_dir, cand[-1]) if cand else None
-        target = best or resume_from
+        target = find_best_ckpt(out_dir) or resume_from
         r = subprocess.run(
             [sys.executable, os.path.join(ROOT, "scripts",
                                           "assert_parity.py"),
@@ -240,6 +283,7 @@ def main():
 
     summary = {
         "epochs_total": args.epochs,
+        "phase1_reused": reusing,
         "preempted_at": preempted_epoch,
         "resume_from": os.path.basename(resume_from),
         "epoch0_s": times_a[0] if times_a else None,
