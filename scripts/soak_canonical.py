@@ -151,7 +151,8 @@ def find_best_ckpt(out_dir):
         bd = os.path.join(vd, "checkpoints")
         if os.path.isdir(bd):
             cand = sorted(
-                os.listdir(bd),
+                (d for d in os.listdir(bd)
+                 if os.path.isdir(os.path.join(bd, d))),  # not .cfg.yml
                 key=lambda d: int(re.sub(r"\D", "", d) or 0),
             )
             if cand:
