@@ -347,7 +347,7 @@ def _extra_rows():
             if isinstance(v, dict):  # grouped rows (ingest roofline)
                 out.update(v)
             else:
-                out[name] = round(v, 3 if name.endswith("_ms") else 1)
+                out[name] = round(v, 3 if "_ms" in name else 1)
         except Exception as e:  # never break the headline contract
             out[name] = f"error {type(e).__name__}: {e}"
     return out

@@ -372,14 +372,14 @@ class RetrievalHTTPServer:
         svc = self.service
         if not max_rows:
             max_rows = self._batcher.max_batch if self._batcher else 1
-        if self.service.ingest_format == "yuv420":
-            h, w = (int(v) for v in svc.cfg.INPUT.SIZE_TEST)
-            shape_tail = (h * w * 3 // 2,)
-        elif hasattr(svc, "input_size_hw"):   # LoadedRetriever
-            shape_tail = (*svc.input_size_hw, 3)
+        if hasattr(svc, "input_size_hw"):   # LoadedRetriever
+            h, w = (int(v) for v in svc.input_size_hw)
         else:
             h, w = (int(v) for v in svc.cfg.INPUT.SIZE_TEST)
-            shape_tail = (h, w, 3)
+        shape_tail = (
+            (h * w * 3 // 2,) if svc.ingest_format == "yuv420"
+            else (h, w, 3)
+        )
         b = 1
         while True:
             svc.query_arrays(np.zeros((b, *shape_tail), np.uint8))

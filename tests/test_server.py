@@ -813,3 +813,61 @@ def test_warmup_buckets_precompiles_dispatch_shapes(served):
         "images_b64": [base64.b64encode(b).decode() for b in blobs],
     })
     assert svc._run._cache_size() == cache  # no compile on request
+
+
+def test_warmup_buckets_on_artifact_server_yuv420(tmp_path):
+    """warmup_buckets must work when the server fronts a LoadedRetriever
+    (artifact serving) with the yuv420 wire format: the artifact has no
+    ``.cfg``, so the bucket shapes come from its ``input_size_hw`` meta
+    (regression: the yuv420 branch used to read ``svc.cfg`` and crashed
+    with AttributeError on artifact-backed servers)."""
+    from centroids_reid_tpu.inference.export import (
+        export_retriever,
+        load_retriever,
+        save_artifact,
+    )
+    from centroids_reid_tpu.inference.server import RetrievalHTTPServer
+    from centroids_reid_tpu.models import init_model
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "resnet18"
+    cfg.USE_MIXED_PRECISION = False
+    cfg.INPUT.SIZE_TEST = [32, 16]
+    cfg.TPU.FAST_DECODE = True           # serving wire format: yuv420
+    model = create_model(cfg, num_classes=0)
+    import jax
+
+    params, batch_stats = init_model(
+        model, jax.random.PRNGKey(0), tuple(cfg.INPUT.SIZE_TEST)
+    )
+    rng = np.random.RandomState(9)
+    emb = rng.randn(16, 512).astype(np.float32)
+    paths = np.array([f"g{i}" for i in range(16)])
+    blob, meta, aux = export_retriever(
+        model, cfg, params, batch_stats, emb, paths, k=3, batch_size=2,
+        platforms=("cpu",),
+    )
+    assert meta["ingest"] == "yuv420"
+    path = str(tmp_path / "ret_yuv.crtpu")
+    save_artifact(path, blob, meta, aux=aux)
+    ret = load_retriever(path)
+
+    server = RetrievalHTTPServer(ret, port=0).start_background()
+    try:
+        server.warmup_buckets(2)         # shapes 1, 2 — must not raise
+        n0 = ret.num_compiles
+        import io
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.randint(0, 255, (32, 16, 3), np.uint8)
+        ).save(buf, "JPEG")
+        img_bytes = buf.getvalue()
+        status, out = _post(
+            f"http://127.0.0.1:{server.port}/search",
+            {"images_b64": [base64.b64encode(img_bytes).decode()]},
+        )
+        assert status == 200 and len(out["results"]) == 1
+        assert ret.num_compiles == n0    # request paid no compile
+    finally:
+        server.shutdown()
