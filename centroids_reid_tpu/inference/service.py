@@ -262,10 +262,9 @@ class RetrievalService:
         the single-chip path: every global top-k row is inside its own
         shard's top-k at kernel resolution, and the merge compares exact
         fp32 distances."""
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        from ..parallel.mesh import GALLERY_AXIS
+        from ..parallel.mesh import GALLERY_AXIS, shard_map
         from ..parallel.retrieval import shard_select_merge
 
         mesh = self.mesh
@@ -296,7 +295,6 @@ class RetrievalService:
             in_specs=(P(), P(), P(GALLERY_AXIS), P(GALLERY_AXIS),
                       P(None, GALLERY_AXIS)),
             out_specs=(P(), P()),
-            check_rep=False,
         )
 
         @jax.jit

@@ -217,10 +217,9 @@ def _stream_ranks_sharded_program(mesh, shard_rows: int, g_chunk: int,
     (mesh, layout, flags) — building a fresh shard_map + jax.jit object
     per 128-query chunk re-traced every chunk (the same retrace class
     parallel/retrieval.py's _sharded_topk_program fixed)."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from ..parallel.mesh import GALLERY_AXIS
+    from ..parallel.mesh import GALLERY_AXIS, shard_map
 
     def local(qf_l, qp_l, qc_l, pos_l, gf_l, gp_l, gclo_l, gchi_l, gv_l):
         j0 = (jax.lax.axis_index(GALLERY_AXIS) * shard_rows).astype(
@@ -245,7 +244,6 @@ def _stream_ranks_sharded_program(mesh, shard_rows: int, g_chunk: int,
         in_specs=(P(), P(), P(), P(), P(GALLERY_AXIS), P(GALLERY_AXIS),
                   P(GALLERY_AXIS), P(GALLERY_AXIS), P(GALLERY_AXIS)),
         out_specs=(P(), P()),
-        check_rep=False,
     ))
 
 

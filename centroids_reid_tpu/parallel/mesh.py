@@ -23,6 +23,25 @@ DATA_AXIS = "data"
 GALLERY_AXIS = "gallery"
 
 
+def shard_map(f, *, mesh, in_specs, out_specs):
+    """``jax.shard_map`` with replication checking off, on both API
+    generations: jax >= 0.8 exposes ``jax.shard_map`` (``check_vma``),
+    older releases only ``jax.experimental.shard_map`` (``check_rep``).
+    All call sites here hand-place collectives (psum/all_gather over the
+    mesh axis), which the static rep/vma checker rejects."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    return _shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=False,
+    )
+
+
 def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
     n = num_devices or len(devices)

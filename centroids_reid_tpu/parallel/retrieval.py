@@ -14,13 +14,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-# the experimental entry point is used deliberately: it accepts
-# check_rep=False, which the local hierarchical selection needs (its
-# intermediate values are unvarying over the gallery axis until the merge)
-from jax.experimental.shard_map import shard_map  # noqa: F401
-
 from ..ops.retrieval import _hier_topk_build
-from .mesh import GALLERY_AXIS
+# mesh.shard_map disables replication checking on both jax API
+# generations — the local hierarchical selection needs it off (its
+# intermediate values are unvarying over the gallery axis until the merge)
+from .mesh import GALLERY_AXIS, shard_map
 
 
 def shard_select_merge(qf_l, gf_l, gn_l, k_eff: int, shard_rows: int,
@@ -84,7 +82,6 @@ def _sharded_topk_program(mesh: Mesh, dist: str, g: int, shard_rows: int,
         mesh=mesh,
         in_specs=(P(), P(GALLERY_AXIS)),
         out_specs=(P(), P()),
-        check_rep=False,
     ))
 
 
