@@ -46,11 +46,14 @@ def _p50(fn, reps):
 def _concurrent_load(url, payload, n_clients, reps_per_client):
     """N threads each issue sequential POSTs; returns (lat_sorted, total_s,
     n_ok, n_shed). Shed (429) responses count separately — under the
-    bounded-queue server they are the correct overload behaviour."""
+    bounded-queue server they are the correct overload behaviour. Any
+    OTHER failure (500s, timeouts) is collected and re-raised after the
+    join: a server error must fail the bench loudly, not die silently in
+    a client thread and skew the throughput over a shortened workload."""
     import threading
     import urllib.error
 
-    lats, shed = [], [0]
+    lats, shed, failures = [], [0], []
     lock = threading.Lock()
 
     def client():
@@ -66,11 +69,17 @@ def _concurrent_load(url, payload, n_clients, reps_per_client):
                 with lock:
                     lats.append(time.time() - t0)
             except urllib.error.HTTPError as e:
-                e.read()
+                body = e.read()
+                if e.code != 429:
+                    with lock:
+                        failures.append(f"HTTP {e.code}: {body[:200]!r}")
+                    return
                 with lock:
                     shed[0] += 1
-                if e.code != 429:
-                    raise
+            except Exception as e:
+                with lock:
+                    failures.append(f"{type(e).__name__}: {e}")
+                return
 
     threads = [threading.Thread(target=client) for _ in range(n_clients)]
     t0 = time.time()
@@ -79,6 +88,11 @@ def _concurrent_load(url, payload, n_clients, reps_per_client):
     for t in threads:
         t.join()
     total = time.time() - t0
+    if failures:
+        raise RuntimeError(
+            f"{len(failures)} client failure(s) during concurrent load "
+            f"(first: {failures[0]})"
+        )
     lats.sort()
     return lats, total, len(lats), shed[0]
 

@@ -42,10 +42,12 @@ class ImageStore:
         self._cache: Dict[str, np.ndarray] = {}
 
     def item_shape(self) -> Tuple[int, ...]:
-        h, w = self.size_hw
-        if self.fmt == "rgb":
-            return (h, w, 3)
-        return (h * w + 2 * ((h // 2) * (w // 2)),)
+        # shared with the serving surfaces (transforms.ingest_item_shape);
+        # yuv420 requires even dims (rgb_to_yuv420_np raises otherwise),
+        # where 1.5*H*W is the exact packed length
+        from .transforms import ingest_item_shape
+
+        return ingest_item_shape(self.fmt, self.size_hw)
 
     def get(self, path: str) -> np.ndarray:
         if self.cache_enabled:

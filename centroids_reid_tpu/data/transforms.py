@@ -91,6 +91,31 @@ def load_and_pack_yuv420(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
     return decode_and_pack_yuv420_bytes(data, size_hw)
 
 
+def ingest_item_shape(fmt: str, size_hw: Tuple[int, int]) -> Tuple[int, ...]:
+    """Per-image uint8 shape a serving wire format produces: packed planar
+    YUV420 ``[1.5*H*W]`` or RGB ``[H, W, 3]``. The single source of truth
+    for the shape that the service, artifact export/load, server warmup,
+    and data loader all need to agree on."""
+    h, w = (int(v) for v in size_hw)
+    if fmt == "yuv420":
+        return (h * w * 3 // 2,)
+    return (h, w, 3)
+
+
+def ingest_blobs(fmt: str, size_hw: Tuple[int, int], blobs) -> np.ndarray:
+    """Encoded image bytes -> the uint8 batch the serving query program
+    consumes, per wire format (shape ``[B, *ingest_item_shape(...)]``).
+    Pure host work (no device dispatch) — callers may run it concurrently
+    across threads; the shared decode path of RetrievalService and
+    LoadedRetriever."""
+    size = tuple(int(v) for v in size_hw)
+    if fmt == "yuv420":
+        return np.stack(
+            [decode_and_pack_yuv420_bytes(b, size) for b in blobs]
+        )
+    return np.stack([decode_and_resize_bytes(b, size) for b in blobs])
+
+
 def _normalize(x_f32, mean, std):
     return (x_f32 / 255.0 - mean) / std
 

@@ -48,7 +48,12 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 MAGIC = b"CRTPU-ART\n"
-FORMAT_VERSION = 1
+FORMAT_VERSION = 1      # artifacts without an aux section (embedder)
+FORMAT_VERSION_AUX = 2  # artifacts carrying an aux section (retriever):
+# a v1-only reader would return aux+blob concatenated as "the blob" and
+# die in jax.export.deserialize, so aux-bearing files bump the version
+# and pre-aux readers reject them with the clean version error instead
+SUPPORTED_VERSIONS = (FORMAT_VERSION, FORMAT_VERSION_AUX)
 # Serve on TPU, smoke-test/load on CPU. jax.export lowers for every
 # platform in the tuple from one trace — no TPU needed at export time.
 DEFAULT_PLATFORMS = ("tpu", "cpu")
@@ -143,11 +148,16 @@ def save_artifact(path: str, blob: bytes, meta: dict,
                   aux: bytes = b"") -> None:
     """``aux``: optional sidecar section (retriever artifacts store the
     gallery npz here) written between the meta JSON and the export blob;
-    its length is recorded in ``meta["aux_bytes"]`` so readers that
-    predate it still find their blob (they see no key and skip 0)."""
+    its length is recorded in ``meta["aux_bytes"]``. Aux-bearing files
+    are stamped ``format_version`` 2: a reader that predates the aux
+    section would otherwise read aux+blob concatenated as its blob and
+    fail deep inside ``jax.export.deserialize`` — the version bump turns
+    that into the clean "artifact format v2, this loader reads v1"
+    error. Aux-free artifacts stay v1 and remain readable everywhere."""
     meta = dict(meta)
     if aux:
         meta["aux_bytes"] = len(aux)
+        meta["format_version"] = FORMAT_VERSION_AUX
     meta_bytes = json.dumps(meta, sort_keys=True).encode("utf-8")
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -172,10 +182,10 @@ def _read_artifact_sections(path: str):
         aux = f.read(int(meta.get("aux_bytes", 0)))
         blob = f.read()
     ver = meta.get("format_version")
-    if ver != FORMAT_VERSION:
+    if ver not in SUPPORTED_VERSIONS:
         raise ValueError(
             f"{path}: artifact format v{ver}, this loader reads "
-            f"v{FORMAT_VERSION}"
+            f"v{'/v'.join(str(v) for v in SUPPORTED_VERSIONS)}"
         )
     return blob, meta, aux
 
@@ -241,13 +251,14 @@ def export_retriever(
     def ranked(gf, gf32, gn, imgs_u8):
         return run(params_c, bstats_c, gf, gf32, gn, imgs_u8)
 
+    from ..data.transforms import ingest_item_shape
+
     h, w = (int(v) for v in cfg.INPUT.SIZE_TEST)
     b = int(batch_size)
     ingest = svc.ingest_format
-    if ingest == "yuv420":
-        imgs_spec = jax.ShapeDtypeStruct((b, h * w * 3 // 2), jnp.uint8)
-    else:
-        imgs_spec = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
+    imgs_spec = jax.ShapeDtypeStruct(
+        (b, *ingest_item_shape(ingest, (h, w))), jnp.uint8
+    )
     specs = tuple(
         jax.ShapeDtypeStruct(a.shape, a.dtype)
         for a in (svc._gf, svc._gf32, svc._gn)
@@ -271,7 +282,7 @@ def export_retriever(
     aux = buf.getvalue()
 
     meta = {
-        "format_version": FORMAT_VERSION,
+        "format_version": FORMAT_VERSION_AUX,  # carries an aux section
         "kind": "retriever",
         "model_name": str(cfg.MODEL.NAME),
         "quantized": int8_qfn is not None,
@@ -430,19 +441,17 @@ class LoadedRetriever:
 
     def warmup(self) -> None:
         """Compile + first-dispatch ahead of traffic (one program shape)."""
-        h, w = self.input_size_hw
-        if self.ingest_format == "yuv420":
-            z = np.zeros((self._bs, h * w * 3 // 2), np.uint8)
-        else:
-            z = np.zeros((self._bs, h, w, 3), np.uint8)
-        self.query_arrays(z)
+        from ..data.transforms import ingest_item_shape
+
+        shape = ingest_item_shape(self.ingest_format, self.input_size_hw)
+        self.query_arrays(np.zeros((self._bs, *shape), np.uint8))
 
     def query_arrays(self, imgs_u8: np.ndarray):
         """uint8 queries -> (distances [B,k], indices [B,k], paths)."""
+        from ..data.transforms import ingest_item_shape
+
         imgs_u8 = np.ascontiguousarray(imgs_u8, dtype=np.uint8)
-        h, w = self.input_size_hw
-        want = (h * w * 3 // 2,) if self.ingest_format == "yuv420" \
-            else (h, w, 3)
+        want = ingest_item_shape(self.ingest_format, self.input_size_hw)
         if imgs_u8.shape[1:] != want:
             raise ValueError(
                 f"expected uint8 [B,{','.join(map(str, want))}], got "
@@ -469,17 +478,11 @@ class LoadedRetriever:
 
     def ingest_bytes(self, blobs: Sequence[bytes]) -> np.ndarray:
         """Encoded image bytes -> the uint8 batch ``query_arrays``
-        consumes (same host decode path as RetrievalService)."""
-        size = self.input_size_hw
-        if self.ingest_format == "yuv420":
-            from ..data.transforms import decode_and_pack_yuv420_bytes
+        consumes (the same host decode path as RetrievalService —
+        data/transforms.ingest_blobs)."""
+        from ..data.transforms import ingest_blobs
 
-            return np.stack(
-                [decode_and_pack_yuv420_bytes(b, size) for b in blobs]
-            )
-        from ..data.transforms import decode_and_resize_bytes
-
-        return np.stack([decode_and_resize_bytes(b, size) for b in blobs])
+        return ingest_blobs(self.ingest_format, self.input_size_hw, blobs)
 
     def query_bytes(self, blobs: Sequence[bytes]):
         return self.query_arrays(self.ingest_bytes(blobs))

@@ -74,12 +74,15 @@ class _DynamicBatcher:
     """Coalesces concurrent query batches into single device dispatches.
 
     Requests enqueue (imgs, service, Future); a worker drains the queue —
-    it blocks on the first entry, then keeps collecting until
-    ``max_batch`` rows are staged or ``window_ms`` passed since the first
-    entry — and runs ONE ``query_arrays`` over the concatenated rows,
-    then splits the results back per request. FIFO order; a request
-    larger than ``max_batch`` still dispatches (alone) — query_arrays
-    chunks it internally against the score budget.
+    it blocks on the first entry, then keeps collecting while the staged
+    rows stay within ``max_batch`` and ``window_ms`` hasn't passed since
+    the first entry — and runs ONE ``query_arrays`` over the concatenated
+    rows, then splits the results back per request. FIFO order; an entry
+    that would push the staged rows past ``max_batch`` closes the batch
+    and starts the next one, and a single request larger than
+    ``max_batch`` dispatches alone in ``max_batch``-row slices — either
+    way no dispatch ever exceeds ``max_batch`` rows, so every shape the
+    worker produces is one ``warmup_buckets`` pre-compiled.
 
     Each entry carries the SERVICE it was validated against (the
     handler's snapshot), and a coalesced batch only ever spans entries of
@@ -90,7 +93,13 @@ class _DynamicBatcher:
     service and the first new-generation entry starts the next batch.
 
     ``max_queue`` bounds the queue; past it ``submit`` raises
-    ``Overloaded`` instead of growing host memory without limit.
+    ``Overloaded`` instead of growing host memory without limit. NB: in
+    the HTTP server every queued entry's submitter thread also holds a
+    ``max_pending`` slot (acquired before decode, released after the
+    result), so queue occupancy never exceeds ``max_pending`` there —
+    this bound only shows through when set BELOW ``max_pending``; at the
+    defaults (64 vs 32) it is a backstop for non-HTTP embedders of the
+    batcher, not the operative limit.
 
     Coalesced batches are zero-padded up to the next power of two
     (pad rows dropped on the way out): XLA compiles one executable per
@@ -130,11 +139,26 @@ class _DynamicBatcher:
         self._q.put(None)  # blocking put: the sentinel must always land
         self._thread.join(10)
 
+    def _dispatch(self, svc, rows_arr: np.ndarray):
+        """One warmed-shape dispatch: pad to the power-of-two bucket,
+        query, trim the pad rows back off."""
+        n = rows_arr.shape[0]
+        pad = _bucket_rows(n) - n
+        if pad:
+            rows_arr = np.concatenate([
+                rows_arr,
+                np.zeros((pad, *rows_arr.shape[1:]), rows_arr.dtype),
+            ])
+        d, idx, paths = svc.query_arrays(rows_arr)
+        return d[:n], idx[:n], paths[:n]
+
     def _worker(self):
         import queue
         import time
 
-        pending = None  # first entry of the next service generation
+        pending = None  # carryover: entry that closed the previous batch
+        # (a service-generation boundary, or rows that would overflow
+        # max_batch) — it opens the next batch instead
         while True:
             first = pending if pending is not None else self._q.get()
             pending = None
@@ -155,9 +179,13 @@ class _DynamicBatcher:
                 if nxt is None:  # shutdown sentinel: finish this batch
                     self._q.put(None)
                     break
-                if nxt[1] is not svc:
-                    # swap happened after nxt was validated against the
-                    # NEW service: close this batch on the old one
+                if (nxt[1] is not svc
+                        or rows + nxt[0].shape[0] > self.max_batch):
+                    # generation boundary (swap_service after nxt was
+                    # validated against the NEW service), or staging nxt
+                    # would overflow max_batch into a bucket shape
+                    # warmup_buckets never compiled: close this batch,
+                    # nxt opens the next one
                     pending = nxt
                     break
                 staged.append((nxt[0], nxt[2]))
@@ -167,13 +195,20 @@ class _DynamicBatcher:
                     staged[0][0] if len(staged) == 1
                     else np.concatenate([s[0] for s in staged])
                 )
-                pad = _bucket_rows(batch.shape[0]) - batch.shape[0]
-                if pad:
-                    batch = np.concatenate([
-                        batch,
-                        np.zeros((pad, *batch.shape[1:]), batch.dtype),
-                    ])
-                d, idx, paths = svc.query_arrays(batch)
+                n_real = batch.shape[0]
+                if n_real > self.max_batch:
+                    # a single request may exceed max_batch (coalescing
+                    # never does): dispatch it in max_batch-row slices so
+                    # every shape stays a warmed bucket
+                    parts = [
+                        self._dispatch(svc, batch[s:s + self.max_batch])
+                        for s in range(0, n_real, self.max_batch)
+                    ]
+                    d = np.concatenate([p[0] for p in parts])
+                    idx = np.concatenate([p[1] for p in parts])
+                    paths = np.concatenate([p[2] for p in parts])
+                else:
+                    d, idx, paths = self._dispatch(svc, batch)
                 off = 0
                 for s_imgs, s_fut in staged:
                     n = s_imgs.shape[0]
@@ -205,7 +240,9 @@ class RetrievalHTTPServer:
         one decoded batch per thread while every request waits forever
         on the dispatch lock). Past the bound requests are shed with
         HTTP 429 + Retry-After — bounded memory, bounded queueing delay.
-        ``max_queue`` additionally bounds the dynamic batcher's queue."""
+        ``max_queue`` additionally bounds the dynamic batcher's queue;
+        since every queued entry also holds a pending slot, it only
+        bites when set below ``max_pending``."""
         self.service = service
         self._dispatch_lock = threading.Lock()
         self.max_pending = int(max_pending)
@@ -305,8 +342,18 @@ class RetrievalHTTPServer:
                 # snapshot service
                 d, idx, paths = self._batcher.submit(imgs, svc)
             else:
+                # direct path buckets too: without it every distinct
+                # request size would compile its own program
+                n = imgs.shape[0]
+                pad = _bucket_rows(n) - n
+                if pad:
+                    imgs = np.concatenate([
+                        imgs,
+                        np.zeros((pad, *imgs.shape[1:]), imgs.dtype),
+                    ])
                 with self._dispatch_lock:
                     d, idx, paths = svc.query_arrays(imgs)
+                d, idx, paths = d[:n], idx[:n], paths[:n]
         finally:
             self._release_slot()
         return {
@@ -368,18 +415,22 @@ class RetrievalHTTPServer:
         power-of-two buckets up to ``max_rows`` (default: the batcher's
         ``max_batch``, or 1 without batching). Run at startup so no
         request ever pays an XLA/Mosaic compile (the serving analogue of
-        LoadedEmbedder.warmup)."""
+        LoadedEmbedder.warmup). Both serving paths bucket-pad to powers
+        of two and the batcher never dispatches above ``max_batch``, so
+        warming up to the largest expected request size covers every
+        shape (oversize single requests dispatch in ``max_batch`` slices;
+        shapes past the service's query-chunk clamp reuse the chunk-size
+        program this warmup also compiles)."""
+        from ..data.transforms import ingest_item_shape
+
         svc = self.service
         if not max_rows:
             max_rows = self._batcher.max_batch if self._batcher else 1
         if hasattr(svc, "input_size_hw"):   # LoadedRetriever
-            h, w = (int(v) for v in svc.input_size_hw)
+            size_hw = svc.input_size_hw
         else:
-            h, w = (int(v) for v in svc.cfg.INPUT.SIZE_TEST)
-        shape_tail = (
-            (h * w * 3 // 2,) if svc.ingest_format == "yuv420"
-            else (h, w, 3)
-        )
+            size_hw = tuple(svc.cfg.INPUT.SIZE_TEST)
+        shape_tail = ingest_item_shape(svc.ingest_format, size_hw)
         b = 1
         while True:
             svc.query_arrays(np.zeros((b, *shape_tail), np.uint8))
@@ -552,7 +603,9 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
     )
     parser.add_argument(
         "--max_queue", type=int, default=64,
-        help="dynamic batching: max queued requests before shedding",
+        help="dynamic batching: max queued requests before shedding "
+             "(queued requests also hold --max_pending slots, so this "
+             "only binds when set below --max_pending)",
     )
     parser.add_argument(
         "--warmup_buckets", type=int, default=0,

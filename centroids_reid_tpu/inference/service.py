@@ -373,16 +373,11 @@ class RetrievalService:
         device dispatch), so callers may run it concurrently across
         threads (inference/server.py decodes outside its dispatch
         lock)."""
-        size = tuple(self.cfg.INPUT.SIZE_TEST)
-        if self.ingest_format == "yuv420":
-            from ..data.transforms import decode_and_pack_yuv420_bytes
+        from ..data.transforms import ingest_blobs
 
-            return np.stack(
-                [decode_and_pack_yuv420_bytes(b, size) for b in blobs]
-            )
-        from ..data.transforms import decode_and_resize_bytes
-
-        return np.stack([decode_and_resize_bytes(b, size) for b in blobs])
+        return ingest_blobs(
+            self.ingest_format, tuple(self.cfg.INPUT.SIZE_TEST), blobs
+        )
 
     def query_bytes(self, blobs: Sequence[bytes]):
         """Encoded image bytes -> (distances, indices, paths)."""

@@ -203,6 +203,12 @@ def main():
         epochs_a = tail_epochs(log)
         preempted_epoch = max(epochs_a)
     else:
+        # a rerun into the same --work (without --reuse-phase1) must not
+        # let the monitor parse a previous run's epoch lines — launch()
+        # appends, so stale 'epoch 52' text would trip the SIGTERM on
+        # the first poll and the summary would mix two runs
+        if os.path.exists(log):
+            os.remove(log)
         proc, lf = launch(common, log)
         preempted_epoch = None
         try:
@@ -235,6 +241,8 @@ def main():
     # ---- phase 2: resume to completion + final double test ---------------
     t1 = time.time()
     log2 = os.path.join(args.work, "resume.log")
+    if os.path.exists(log2):
+        os.remove(log2)  # same staleness hazard as train.log above
     proc, lf = launch(
         common + ["MODEL.RESUME_TRAINING", "True",
                   "MODEL.PRETRAIN_PATH", resume_from], log2,

@@ -871,3 +871,85 @@ def test_warmup_buckets_on_artifact_server_yuv420(tmp_path):
         assert ret.num_compiles == n0    # request paid no compile
     finally:
         server.shutdown()
+
+
+def test_batcher_never_dispatches_above_max_batch():
+    """Coalescing must close a batch BEFORE staging rows that would
+    overflow max_batch — an overflowed batch pads to a power-of-two
+    bucket ABOVE max_batch, a shape warmup_buckets never compiled (the
+    exact serving-path-compile hole bucketing exists to close) — and a
+    single request larger than max_batch must dispatch in max_batch-row
+    slices. Unit-level: a fake service records every dispatch shape."""
+    import threading
+    import time
+
+    from centroids_reid_tpu.inference.server import _DynamicBatcher
+
+    class FakeService:
+        def __init__(self):
+            self.calls = []
+            self.hold = threading.Event()  # set => dispatches proceed
+
+        def query_arrays(self, imgs):
+            self.calls.append(imgs.shape[0])
+            self.hold.wait(10)
+            v = imgs[:, 0].astype(np.int64)
+            k = 3
+            d = np.tile(v[:, None].astype(np.float64), (1, k))
+            idx = np.tile(v[:, None], (1, k))
+            paths = np.array(
+                [[f"p{int(x)}"] * k for x in v], dtype=object
+            )
+            return d, idx, paths
+
+    svc = FakeService()
+    b = _DynamicBatcher(window_ms=200.0, max_batch=4, max_queue=64)
+    results = {}
+
+    def submit(tag, rows):
+        imgs = np.full((rows, 1), tag, np.uint8)
+        results[tag] = b.submit(imgs, svc)
+
+    try:
+        # hold the worker inside a first dispatch so the next two
+        # requests queue up behind it and hit one coalescing window
+        svc.hold.clear()
+        t0 = threading.Thread(target=submit, args=(9, 1))
+        t0.start()
+        deadline = time.time() + 10
+        while not svc.calls and time.time() < deadline:
+            time.sleep(0.01)
+        assert svc.calls, "worker never started the held dispatch"
+
+        # 3 + 3 rows: coalescing both would overflow max_batch=4, so the
+        # worker must close the batch at 3 and carry the second entry
+        t1 = threading.Thread(target=submit, args=(1, 3))
+        t1.start()
+        while b._q.qsize() < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        t2 = threading.Thread(target=submit, args=(2, 3))
+        t2.start()
+        while b._q.qsize() < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        svc.hold.set()
+        for t in (t0, t1, t2):
+            t.join(30)
+
+        assert all(c <= 4 for c in svc.calls), svc.calls
+        for tag, rows in ((9, 1), (1, 3), (2, 3)):
+            d, idx, paths = results[tag]
+            assert d.shape[0] == rows
+            assert set(np.unique(idx)) == {tag}
+
+        # a single oversize request: 10 rows over max_batch=4 dispatches
+        # as warmed max_batch slices (the 2-row tail pads to bucket 2)
+        svc.calls.clear()
+        submit(7, 10)
+        assert svc.calls == [4, 4, 2], svc.calls
+        d, idx, paths = results[7]
+        assert d.shape[0] == 10
+        assert set(np.unique(idx)) == {7}
+        assert paths.shape == (10, 3)
+    finally:
+        svc.hold.set()
+        b.stop()
