@@ -62,13 +62,9 @@ def allocate_version_dir(base: str, name: str) -> str:
 def run_single(cfg, mode: str, logger_save_dir: str) -> Dict[str, float]:
     import jax
 
-    # Persistent compilation cache: TPU (Mosaic) compiles of the epoch and
-    # eval programs can take minutes; cache them across CLI invocations.
-    # Overridable via JAX_COMPILATION_CACHE_DIR; "0"/"" disables.
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-    if cache_dir and cache_dir != "0":
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
     if cfg.TPU.DEBUG_NANS:
         jax.config.update("jax_debug_nans", True)
     if cfg.TPU.MATMUL_PRECISION != "default":

@@ -40,10 +40,29 @@ def load_inference_model(cfg):
     if not path:
         raise ValueError("MODEL.PRETRAIN_PATH must point to a checkpoint")
     if os.path.isdir(path):
-        # orbax checkpoint of a full TrainState: pull the model subtree
+        # orbax checkpoint of a full TrainState: pull the model subtree.
+        # Restore array leaves to HOST numpy (metadata pass first — the
+        # tree structure isn't known here): a bare restore() materialises
+        # every array on device honouring saved shardings, which through
+        # the axon tunnel costs a round-trip PER ARRAY — measured 239 s
+        # for a resnet18 TrainState vs ~2 s to host. The first jitted
+        # dispatch transfers the whole tree in one batch anyway, and host
+        # restore is also what makes cross-topology loads work
+        # (engine/checkpoint.restore_state does the same for resume).
         import orbax.checkpoint as ocp
 
-        raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        ckptr = ocp.PyTreeCheckpointer()
+        abspath = os.path.abspath(path)
+        # .item_metadata.tree: the checkpoint's structure as a PLAIN dict
+        # (item_metadata itself is a custom pytree node orbax's own
+        # tree-zip over restore_args rejects)
+        meta_tree = ckptr.metadata(abspath).item_metadata.tree
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray)
+            if hasattr(m, "shape") else ocp.RestoreArgs(),
+            meta_tree,
+        )
+        raw = ckptr.restore(abspath, restore_args=restore_args)
         full = raw["params"]["model"]
         stats = raw["batch_stats"]
         keep = {k: v for k, v in full.items() if k != "fc_query"}

@@ -560,7 +560,13 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
     import argparse
 
     from ..config import get_default_cfg
+    from ..utils import enable_compile_cache
     from .service import RetrievalService
+
+    # serving restarts (deploys, preemption) must not re-pay the XLA/
+    # Mosaic compiles of the query program + warmup buckets: a warm disk
+    # cache turns a minutes-long cold start into seconds
+    enable_compile_cache()
 
     parser = argparse.ArgumentParser(
         description="HTTP retrieval serving over a device-resident gallery"

@@ -43,6 +43,9 @@ def main():
         cfg.merge_from_file(args.config_file)
     cfg.merge_from_list(args.opts)
 
+    from centroids_reid_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     build_embeddings(
         cfg, args.images_in_subfolders, args.print_freq, args.pid_from
     )

@@ -75,6 +75,9 @@ def main():
         cfg.merge_from_file(args.config_file)
     cfg.merge_from_list(args.opts)
 
+    from centroids_reid_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p)
     if args.retriever:
         if not args.gallery_data:

@@ -45,6 +45,9 @@ def main():
         cfg.merge_from_file(args.config_file)
     cfg.merge_from_list(args.opts)
 
+    from centroids_reid_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     find_similar(
         cfg,
         gallery_data=args.gallery_data,

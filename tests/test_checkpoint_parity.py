@@ -96,7 +96,7 @@ def test_reference_ckpt_roundtrip_through_orbax(tmp_path, converted_model):
     -> restore: the exact TEST.ONLY_TEST path (runner.py / misc.py:128-139)."""
     sd, model, params, batch_stats = converted_model
     ckpt_path = tmp_path / "reference.ckpt"
-    torch.save({"state_dict": {k: torch.from_numpy(np.asarray(v))
+    torch.save({"state_dict": {k: torch.from_numpy(np.array(v))
                                for k, v in sd.items()}}, str(ckpt_path))
 
     cfg = _flagship_cfg()

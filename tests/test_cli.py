@@ -119,3 +119,31 @@ def test_parity_gate_dry_run(tmp_path):
     assert b"PARITY OK" in out.stdout
     assert b"Evaluation uses the int8 serving path" in out.stdout
     assert b"INT8 PARITY OK" in out.stdout
+
+
+def test_enable_compile_cache_env_policy(monkeypatch, tmp_path):
+    """One cache policy for every entry point (utils/cache.py): default
+    /tmp/jax_cache, JAX_COMPILATION_CACHE_DIR overrides, ""/"0" disables
+    without touching the live config."""
+    import jax
+
+    from centroids_reid_tpu.utils import enable_compile_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "0")
+        assert enable_compile_cache() == ""
+        assert jax.config.jax_compilation_cache_dir == before  # untouched
+
+        cache = str(tmp_path / "cache")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", cache)
+        assert enable_compile_cache() == cache
+        assert jax.config.jax_compilation_cache_dir == cache
+
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+        assert enable_compile_cache() == "/tmp/jax_cache"
+        assert jax.config.jax_compilation_cache_dir == "/tmp/jax_cache"
+    finally:
+        # the suite's conftest points the cache at /tmp/jax_cache; leave
+        # the live config exactly as we found it
+        jax.config.update("jax_compilation_cache_dir", before)

@@ -71,7 +71,7 @@ def test_ctl_step_total_loss_matches_oracle():
     c_loss = float(
         oracle_center_loss(
             tf[tr], tl[tr],
-            torch.from_numpy(np.asarray(state.params["centers"])),
+            torch.from_numpy(np.array(state.params["centers"])),
         )
     ) * cfg.SOLVER.CENTER_LOSS_WEIGHT
 
@@ -80,10 +80,10 @@ def test_ctl_step_total_loss_matches_oracle():
     mean = real.mean(0)
     var = real.var(0, unbiased=False)
     bn_out = (tf - mean) / torch.sqrt(var + 1e-5)
-    scale = torch.from_numpy(np.asarray(state.params["model"]["bnneck"]["scale"]))
-    bias = torch.from_numpy(np.asarray(state.params["model"]["bnneck"]["bias"]))
+    scale = torch.from_numpy(np.array(state.params["model"]["bnneck"]["scale"]))
+    bias = torch.from_numpy(np.array(state.params["model"]["bnneck"]["bias"]))
     bn_out = bn_out * scale + bias
-    w = torch.from_numpy(np.asarray(state.params["model"]["fc_query"]["kernel"]))
+    w = torch.from_numpy(np.array(state.params["model"]["fc_query"]["kernel"]))
     logits = (bn_out @ w)[tr]
     logp = F.log_softmax(logits, dim=1)
     onehot = torch.zeros_like(logp).scatter_(1, tl[tr][:, None], 1)

@@ -13,7 +13,7 @@ import torch.nn.functional as F
 
 
 def _t(a):
-    return torch.from_numpy(np.asarray(a, dtype=np.float32))
+    return torch.from_numpy(np.array(a, dtype=np.float32))
 
 
 def conv_nchw(x, kernel_hwio, stride):
@@ -144,14 +144,14 @@ def randomize_params(params, seed=0):
 
 def _sd_conv(x, sd, name, stride):
     w = sd[name + ".weight"]
-    w = w if torch.is_tensor(w) else torch.from_numpy(np.asarray(w))
+    w = w if torch.is_tensor(w) else torch.from_numpy(np.array(w))
     return F.conv2d(x, w.float(), stride=stride, padding=w.shape[2] // 2)
 
 
 def _sd_bn(x, sd, name):
     def g(leaf):
         v = sd[name + "." + leaf]
-        return (v if torch.is_tensor(v) else torch.from_numpy(np.asarray(v))).float()
+        return (v if torch.is_tensor(v) else torch.from_numpy(np.array(v))).float()
     return F.batch_norm(
         x, g("running_mean"), g("running_var"), g("weight"), g("bias"),
         training=False, eps=1e-5,
@@ -178,7 +178,7 @@ def reid_embed_from_state_dict(x_nchw, sd, layers=(3, 4, 6, 3),
 
     Returns (embeddings [N, D], logits [N, num_classes]). The plain ResNet
     omits the stem ReLU (resnet.py:97,125)."""
-    x = torch.from_numpy(np.asarray(x_nchw)).float()
+    x = torch.from_numpy(np.array(x_nchw)).float()
     p = backbone_prefix
     x = _sd_conv(x, sd, p + "conv1", 2)
     x = _sd_bn(x, sd, p + "bn1")
@@ -193,7 +193,7 @@ def reid_embed_from_state_dict(x_nchw, sd, layers=(3, 4, 6, 3),
     feat = F.adaptive_avg_pool2d(x, 1).flatten(1)     # baseline.py:89-96
     emb = _sd_bn(feat, sd, "bn")                      # BNNeck, bases.py:83-84
     w = sd["fc_query.weight"]
-    w = (w if torch.is_tensor(w) else torch.from_numpy(np.asarray(w))).float()
+    w = (w if torch.is_tensor(w) else torch.from_numpy(np.array(w))).float()
     logits = emb @ w.T                                # bias-free, bases.py:86-87
     return emb, logits
 
