@@ -186,6 +186,16 @@ def get_default_cfg() -> ConfigNode:
     # (skipping calibration entirely), written after calibration when it
     # does not — one validated artifact serves every later run.
     _C.TPU.INT8_CACHE_PATH = ""
+    # k-reciprocal re-ranking (Zhong et al., CVPR 2017) for evaluation and
+    # the get_similar CLI — the reid ecosystem's standard post-hoc accuracy
+    # booster, absent from the reference (SURVEY.md has no rerank
+    # component); TPU-native implementation in ops/rerank.py. O(N^2) HBM:
+    # refuse eval sets past ~26k rows (Market/Duke fit; fashion-scale
+    # galleries should keep the streaming evaluator instead).
+    _C.TPU.RERANK = False
+    _C.TPU.RERANK_K1 = 20
+    _C.TPU.RERANK_K2 = 6
+    _C.TPU.RERANK_LAMBDA = 0.3
 
     return _C
 

@@ -260,11 +260,23 @@ def compute_reid_metrics(
             embeddings, pids, camids, num_query, respect
         )
         embeddings, pids, camids = es.embeddings, es.labels, es.camids
+    if cfg.TPU.RERANK:
+        # k-reciprocal re-ranking (ops/rerank.py, beyond-parity): pins the
+        # materialising path — R1mAP raises past the O(N^2) memory guard
+        # instead of silently degrading to un-reranked streaming metrics
+        print("Re-ranking with k-reciprocal encoding (k1={}, k2={}, "
+              "lambda={})".format(cfg.TPU.RERANK_K1, cfg.TPU.RERANK_K2,
+                                  cfg.TPU.RERANK_LAMBDA))
+        streaming = False
     evaluator = R1mAP(
         num_query=num_query,
         feat_norm=cfg.TEST.FEAT_NORM,
         dist_name=cfg.SOLVER.DISTANCE_FUNC,
         streaming=streaming,
+        rerank=bool(cfg.TPU.RERANK),
+        rerank_k1=int(cfg.TPU.RERANK_K1),
+        rerank_k2=int(cfg.TPU.RERANK_K2),
+        rerank_lambda=float(cfg.TPU.RERANK_LAMBDA),
     )
     metrics = evaluator.compute(
         embeddings, pids, camids, respect_camids=respect

@@ -179,6 +179,36 @@ def find_similar(cfg, gallery_data: str, images_in_subfolders: bool,
     if use_pallas is None:
         use_pallas = cfg.TPU.USE_PALLAS_RETRIEVAL
     k = topk if topk else len(paths_gallery)
+    if cfg.TPU.RERANK:
+        # k-reciprocal re-ranking (ops/rerank.py, beyond-parity feature):
+        # the final ranking needs the full re-ranked [Q, G] matrix, so it
+        # supersedes the fused/sharded top-k fast paths; the module's
+        # O(N^2) guard raises past ~26k total rows
+        from ..ops import rerank_distmat
+
+        log.info(
+            "Re-ranking with k-reciprocal encoding (k1=%d, k2=%d, "
+            "lambda=%.2f)", cfg.TPU.RERANK_K1, cfg.TPU.RERANK_K2,
+            cfg.TPU.RERANK_LAMBDA,
+        )
+        distmat = np.asarray(rerank_distmat(
+            embeddings, embeddings_gallery,
+            k1=int(cfg.TPU.RERANK_K1), k2=int(cfg.TPU.RERANK_K2),
+            lambda_value=float(cfg.TPU.RERANK_LAMBDA),
+            dist=cfg.SOLVER.DISTANCE_FUNC,
+        ))
+        indices = np.argsort(distmat, axis=1, kind="stable")
+        indices = indices[:, :topk] if topk else indices
+        out = {
+            qp: {
+                "indices": indices[i],
+                "paths": paths_gallery[indices[i]],
+                "distances": distmat[i, indices[i]],
+            }
+            for i, qp in enumerate(paths)
+        }
+        _save_results(cfg, out, embeddings, paths)
+        return out
     if cfg.TPU.SHARDED_RETRIEVAL and not topk:
         # --topk 0 asks for ALL gallery entries ranked per query — that
         # IS the full [Q, G] matrix, which no sharded top-k can avoid;
@@ -242,10 +272,14 @@ def find_similar(cfg, gallery_data: str, images_in_subfolders: bool,
             for i, qp in enumerate(paths)
         }
 
+    _save_results(cfg, out, embeddings, paths)
+    return out
+
+
+def _save_results(cfg, out, embeddings, paths):
     save_dir = Path(cfg.OUTPUT_DIR)
     save_dir.mkdir(exist_ok=True, parents=True)
     log.info(f"Saving results to {save_dir}")
     np.save(save_dir / "results.npy", out)
     np.save(save_dir / "query_embeddings.npy", embeddings)
     np.save(save_dir / "query_paths.npy", paths)
-    return out

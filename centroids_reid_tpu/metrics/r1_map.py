@@ -70,7 +70,13 @@ class R1mAP:
     by chunked rank-counting (metrics/streaming_eval.py) and never builds
     the distance matrix — so ``last_distmat`` (rank visualisation) is only
     available on the materialising path. ``mesh`` shards the streaming
-    gallery over the mesh's gallery axis."""
+    gallery over the mesh's gallery axis.
+
+    ``rerank``: k-reciprocal re-ranking (ops/rerank.py — beyond-parity
+    feature, the reference has no re-ranking) replaces the distance
+    matrix with the re-ranked one before scoring; inherently O(N^2), so
+    it pins the materialising path and refuses eval sets past the module
+    guard rather than silently falling back."""
 
     def __init__(
         self,
@@ -80,6 +86,10 @@ class R1mAP:
         dist_name: str = "euclidean",
         streaming: bool = None,
         mesh=None,
+        rerank: bool = False,
+        rerank_k1: int = 20,
+        rerank_k2: int = 6,
+        rerank_lambda: float = 0.3,
     ):
         self.num_query = num_query
         self.max_rank = max_rank
@@ -87,6 +97,10 @@ class R1mAP:
         self.dist_name = dist_name
         self.streaming = streaming
         self.mesh = mesh
+        self.rerank = rerank
+        self.rerank_k1 = rerank_k1
+        self.rerank_k2 = rerank_k2
+        self.rerank_lambda = rerank_lambda
         self._last_distmat_device = None
 
     def compute(
@@ -106,7 +120,14 @@ class R1mAP:
 
         stream = self.streaming
         if stream is None:
-            stream = qf.shape[0] * gf.shape[0] > _STREAMING_CELLS
+            stream = (not self.rerank
+                      and qf.shape[0] * gf.shape[0] > _STREAMING_CELLS)
+        if self.rerank and stream:
+            raise ValueError(
+                "re-ranking is O(N^2) and incompatible with the streaming "
+                "evaluator; run with streaming=False (small/centroid "
+                "galleries) or disable TPU.RERANK"
+            )
         if stream:
             from .streaming_eval import eval_func_streaming
 
@@ -121,7 +142,15 @@ class R1mAP:
         # and the metric mask algebra — only the scalar-ish results come
         # back to the host (a [Q,G] round-trip through the host costs more
         # than the compute at Market1501 scale)
-        distmat = compute_distmat_device(qf, gf, self.dist_name)
+        if self.rerank:
+            from ..ops.rerank import rerank_distmat
+
+            distmat = rerank_distmat(
+                qf, gf, k1=self.rerank_k1, k2=self.rerank_k2,
+                lambda_value=self.rerank_lambda, dist=self.dist_name,
+            )
+        else:
+            distmat = compute_distmat_device(qf, gf, self.dist_name)
         indices = jnp.argsort(distmat, axis=1)
 
         metrics = eval_func(

@@ -1,0 +1,224 @@
+"""k-reciprocal re-ranking (Zhong et al., CVPR 2017, arXiv:1701.08398) —
+TPU-native, fully vectorised.
+
+The reference repo has NO re-ranking anywhere (verified: no rerank /
+jaccard / k_reciprocal symbol in /root/reference); this is a
+beyond-parity capability — the standard post-hoc accuracy booster every
+major reid framework ships, rebuilt for TPU: each stage is ONE
+static-shape XLA program (`lax.scan` over row/block chunks — a Python
+chunk loop would issue tens of thousands of tiny dispatches at Market
+scale, ruinous over a high-latency link), the set algebra runs as
+gather/scatter on dense indicator rows, and the O(N^2) state stays in
+HBM end to end.
+
+Algorithm (this module's documented semantics; the NumPy loop oracle in
+tests/np_oracle.py::oracle_rerank implements the same spec):
+
+1. ``d``: pairwise eval-mode distance over ``concat(qf, gf)`` ([N, N],
+   fp32; squared-euclidean or cosine per ``dist``), row-max normalised to
+   ``dn`` so the exp() weights in step 4 are scale-free.
+2. Initial ranks: per-row indices of the ``k1+1`` nearest rows (self
+   included). k-reciprocal set ``R(i)`` = neighbours j of i with i among
+   j's ``k1+1`` nearest.
+3. Expansion: for each candidate ``j in R(i)``, with ``Rh(j)`` the
+   half-level (``k1//2 + 1``) reciprocal set, add ``Rh(j)`` to ``R*(i)``
+   when ``|Rh(j) ∩ R(i)| * 3 > 2 * |Rh(j)|`` (integer arithmetic — no
+   float-threshold edge cases).
+4. Sparse membership vector ``V[i, :]``: ``exp(-dn[i, j])`` for
+   ``j in R*(i)``, L1-normalised per row.
+5. Local query expansion (``k2 > 1``): ``V[i] <- mean(V[rank(i, :k2)])``.
+6. Jaccard distance over the query/gallery split of V:
+   ``jac = 1 - minsum / (|Vq|_1 + |Vg|_1 - minsum)`` with
+   ``minsum = sum_k min(Vq[i,k], Vg[j,k])`` (blocked on device).
+7. ``final = lambda * dn[:Q, Q:] + (1 - lambda) * jac``.
+
+Memory: the method is inherently O(N^2) — ``dn`` and ``V`` are [N, N]
+fp32 resident in HBM (plus one transient copy during assembly), so the
+guard refuses N past ``max_n`` (default 26,000 ≈ 10 GB peak: Market1501
+and DukeMTMC eval sets fit a v5e with room; fashion-scale galleries
+should stay on the streaming evaluator, which this module intentionally
+does not replace).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses.distances import get_dist_func
+
+# Rows per V-construction / query-expansion scan step.
+_ROW_CHUNK = 128
+# Jaccard min-sum blocking: [QB, GB, N] broadcast-reduce per scan step.
+_JAC_QB = 16
+_JAC_GB = 128
+
+DEFAULT_MAX_N = 26_000
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def _pad_idx(n: int, chunk: int):
+    """[ceil(n/chunk)*chunk] row ids, clipped so padding duplicates the
+    last row (harmless: results are sliced back to n)."""
+    return jnp.arange(_ceil_to(n, chunk)).clip(max=n - 1)
+
+
+@partial(jax.jit, static_argnames=("dist", "chunk"))
+def _build_distmat(feats, dist: str, chunk: int):
+    """[N, D] -> [N, N] fp32 eval-mode distances: one scanned program,
+    each step an MXU-sized [chunk, D] x [D, N] block."""
+    fn = get_dist_func(dist, eval_mode=True)
+    n = feats.shape[0]
+    idx = _pad_idx(n, chunk).reshape(-1, chunk)
+
+    def body(_, rows):
+        return None, fn(feats[rows], feats)
+
+    _, parts = jax.lax.scan(body, None, idx)
+    return parts.reshape(-1, n)[:n]
+
+
+@partial(jax.jit, static_argnames=("kk", "hk"))
+def _ranks_and_recip(d, kk: int, hk: int):
+    """Initial ranks + reciprocal masks at the full (kk) and half (hk)
+    neighbourhood levels. d: [N, N] fp32."""
+    n = d.shape[0]
+    _, rank = jax.lax.top_k(-d, kk)            # [N, kk] nearest-first
+    rows = jnp.arange(n, dtype=rank.dtype)
+    back = rank[rank]                          # [N, kk, kk]
+    recip = (back == rows[:, None, None]).any(-1)          # [N, kk]
+    backh = rank[rank[:, :hk], :hk]            # [N, hk, hk]
+    reciph = (backh == rows[:, None, None]).any(-1)        # [N, hk]
+    return rank, recip, reciph
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _build_v(dn, rank, recip, reciph, chunk: int):
+    """Membership-weight matrix V (steps 2-4): one scanned program over
+    row chunks of ``chunk`` rows each."""
+    n = dn.shape[0]
+    hk = reciph.shape[1]
+    hsize = reciph.sum(-1).astype(jnp.int32)
+    idx = _pad_idx(n, chunk).reshape(-1, chunk)
+    ar_c = jnp.arange(chunk)
+
+    def body(_, rows):
+        nb = rank[rows]                        # [C, kk]
+        rc = recip[rows]                       # [C, kk]
+        # R(i) as dense indicator rows (top-k indices are distinct per
+        # row; scatter-max keeps duplicate pad rows harmless)
+        ri = jnp.zeros((chunk, n), jnp.float32).at[ar_c[:, None], nb].max(
+            rc.astype(jnp.float32)
+        )
+        # half-level sets of every candidate j in N(i, k1+1)
+        ch_idx = rank[nb][:, :, :hk]                       # [C, kk, hk]
+        ch_msk = reciph[nb]                                # [C, kk, hk]
+        # |Rh(j) ∩ R(i)|: gather R(i)'s indicator at Rh(j)'s members
+        ri_at = jax.vmap(lambda r, i: r[i])(ri, ch_idx)    # [C, kk, hk]
+        inter = (ri_at * ch_msk).sum(-1).astype(jnp.int32)  # [C, kk]
+        hs = hsize[nb]                                     # [C, kk]
+        sel = rc & (3 * inter > 2 * hs)
+        grow = (sel[:, :, None] & ch_msk).astype(jnp.float32)
+        rstar = ri.at[ar_c[:, None, None], ch_idx].max(grow)
+        w = jnp.exp(-dn[rows]) * rstar
+        return None, w / jnp.maximum(w.sum(-1, keepdims=True), 1e-12)
+
+    _, v = jax.lax.scan(body, None, idx)
+    return v.reshape(-1, n)[:n]
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _query_expand(v, rank_k2, chunk: int):
+    """Local query expansion (step 5): one scanned program,
+    ``V[i] <- mean(V[rank(i, :k2)])`` per row chunk."""
+    n = v.shape[0]
+    idx = _pad_idx(n, chunk).reshape(-1, chunk)
+
+    def body(_, rows):
+        return None, v[rank_k2[rows]].mean(axis=1)
+
+    _, vq = jax.lax.scan(body, None, idx)
+    return vq.reshape(-1, n)[:n]
+
+
+@partial(jax.jit, static_argnames=("qb", "gb"))
+def _jaccard(vq, vg, qb: int, gb: int):
+    """[Q, N] x [G, N] -> [Q, G] Jaccard distances (step 6): one program,
+    nested scans over [qb]-row query and [gb]-row gallery blocks."""
+    q, g = vq.shape[0], vg.shape[0]
+    sq, sg = vq.sum(-1), vg.sum(-1)
+    qidx = _pad_idx(q, qb).reshape(-1, qb)
+    gidx = _pad_idx(g, gb).reshape(-1, gb)
+
+    def g_body(qrows, grows):
+        a = vq[qrows]                          # [qb, N]
+        b = vg[grows]                          # [gb, N]
+        minsum = jnp.minimum(a[:, None, :], b[None, :, :]).sum(-1)
+        denom = jnp.maximum(
+            sq[qrows][:, None] + sg[grows][None, :] - minsum, 1e-12
+        )
+        return 1.0 - minsum / denom            # [qb, gb]
+
+    def q_body(_, qrows):
+        _, blocks = jax.lax.scan(
+            lambda c, grows: (None, g_body(qrows, grows)), None, gidx
+        )                                      # [ngb, qb, gb]
+        return None, blocks.transpose(1, 0, 2).reshape(qb, -1)
+
+    _, rows = jax.lax.scan(q_body, None, qidx)  # [nqb, qb, Gpad]
+    return rows.reshape(-1, rows.shape[-1])[:q, :g]
+
+
+def rerank_distmat(
+    qf,
+    gf,
+    k1: int = 20,
+    k2: int = 6,
+    lambda_value: float = 0.3,
+    dist: str = "euclidean",
+    max_n: int = DEFAULT_MAX_N,
+):
+    """k-reciprocal re-ranked distance matrix: [Q, D] x [G, D] -> [Q, G]
+    fp32 (device array; ``np.asarray`` it for host use).
+
+    ``lambda_value`` weighs the (row-max-normalised) original distance
+    against the Jaccard distance — 1.0 reproduces the original ranking
+    exactly, 0.0 ranks purely on k-reciprocal set overlap.
+    """
+    qf = jnp.asarray(qf, jnp.float32)
+    gf = jnp.asarray(gf, jnp.float32)
+    q, g = int(qf.shape[0]), int(gf.shape[0])
+    n = q + g
+    if q == 0 or g == 0:
+        return jnp.zeros((q, g), jnp.float32)
+    if n > max_n:
+        raise ValueError(
+            f"re-ranking holds two [N, N] fp32 matrices in HBM; "
+            f"N={n} exceeds max_n={max_n} (~{2 * n * n * 4 / 2**30:.1f} GB"
+            f" + transients). Re-rank a centroid gallery, raise max_n on "
+            f"a bigger chip, or use the streaming evaluator without "
+            f"re-ranking for galleries at this scale."
+        )
+    k1 = max(1, min(int(k1), n - 1))
+    k2 = max(1, min(int(k2), n))
+    kk = k1 + 1
+    hk = k1 // 2 + 1
+    lam = float(lambda_value)
+    c = min(_ROW_CHUNK, _ceil_to(n, 8))
+
+    d = _build_distmat(jnp.concatenate([qf, gf]), dist,
+                       max(1, min(n, (16 * 1024 * 1024) // max(n, 1))))
+    dn = d / jnp.maximum(d.max(axis=1, keepdims=True), 1e-12)
+    rank, recip, reciph = _ranks_and_recip(d, kk, hk)
+    del d
+    v = _build_v(dn, rank, recip, reciph, c)
+    if k2 > 1:
+        v = _query_expand(v, rank[:, :k2], c)
+
+    jac = _jaccard(v[:q], v[q:], min(_JAC_QB, _ceil_to(q, 8)),
+                   min(_JAC_GB, _ceil_to(g, 8)))
+    return lam * dn[:q, q:] + (1.0 - lam) * jac

@@ -103,3 +103,69 @@ def oracle_camera_aware_centroids(embeddings, labels, camids, num_query):
     out_lab = np.concatenate([lab_q, np.asarray(labs, lab_q.dtype)])
     out_cams = [[int(c)] for c in cam_q] + cams
     return emb, out_lab, out_cams
+
+
+def oracle_rerank(qf, gf, k1=20, k2=6, lambda_value=0.3, dist="euclidean"):
+    """Loop implementation of the k-reciprocal re-ranking spec documented
+    in centroids_reid_tpu/ops/rerank.py (Zhong et al., CVPR 2017) — the
+    oracle the vectorised TPU implementation is tested against. Every
+    semantic choice (row-max distance normalisation, integer 2/3
+    expansion test, exp(-dn) weights, L1-normalised V, Jaccard via
+    min-sum) mirrors that module's docstring, written as plain Python
+    sets and loops."""
+    qf = np.asarray(qf, np.float32)
+    gf = np.asarray(gf, np.float32)
+    q, g = len(qf), len(gf)
+    n = q + g
+    f = np.concatenate([qf, gf])
+    if dist == "euclidean":
+        sq = (f * f).sum(1)
+        d = sq[:, None] + sq[None, :] - 2.0 * (f @ f.T)
+    elif dist == "cosine":
+        fn = f / np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+        d = np.clip(np.abs(1.0 - fn @ fn.T), 1e-12, None)
+    else:
+        raise ValueError(dist)
+    d = d.astype(np.float32)
+    k1 = max(1, min(int(k1), n - 1))
+    k2 = max(1, min(int(k2), n))
+    kk, hk = k1 + 1, k1 // 2 + 1
+    lam = float(lambda_value)
+
+    dn = d / np.maximum(d.max(axis=1, keepdims=True), 1e-12)
+    rank = np.argsort(d, axis=1, kind="stable")[:, :kk]
+    rankh = rank[:, :hk]
+    recip = np.zeros((n, kk), bool)
+    reciph = np.zeros((n, hk), bool)
+    for i in range(n):
+        for s in range(kk):
+            recip[i, s] = i in rank[rank[i, s]]
+        for s in range(hk):
+            reciph[i, s] = i in rankh[rankh[i, s]]
+
+    v = np.zeros((n, n), np.float32)
+    for i in range(n):
+        r_i = {int(rank[i, s]) for s in range(kk) if recip[i, s]}
+        r_star = set(r_i)
+        for s in range(kk):
+            if not recip[i, s]:
+                continue
+            j = int(rank[i, s])
+            r_h = {int(rankh[j, t]) for t in range(hk) if reciph[j, t]}
+            if 3 * len(r_h & r_i) > 2 * len(r_h):
+                r_star |= r_h
+        idxs = sorted(r_star)
+        w = np.exp(-dn[i, idxs])
+        v[i, idxs] = w / max(w.sum(), 1e-12)
+
+    if k2 > 1:
+        v = np.stack([v[rank[i, :k2]].mean(axis=0) for i in range(n)])
+
+    vq, vg = v[:q], v[q:]
+    jac = np.zeros((q, g), np.float32)
+    for i in range(q):
+        for j in range(g):
+            mn = np.minimum(vq[i], vg[j]).sum()
+            denom = max(vq[i].sum() + vg[j].sum() - mn, 1e-12)
+            jac[i, j] = 1.0 - mn / denom
+    return lam * dn[:q, q:] + (1.0 - lam) * jac

@@ -109,6 +109,37 @@ def test_get_similar_self_retrieval(ckpt_dir, image_dirs, tmp_path):
     assert set(saved) == set(out)
 
 
+def test_get_similar_reranked(ckpt_dir, image_dirs, tmp_path):
+    """TPU.RERANK routes find_similar through ops/rerank.py (beyond-parity
+    feature): reference output schema kept, a byte-identical query still
+    retrieves itself first, distances sorted ascending."""
+    gallery, query = image_dirs
+    cfg = _cfg(tmp_path)
+    cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg.DATASETS.ROOT_DIR = gallery
+    build_embeddings(cfg, images_in_subfolders=False)
+
+    cfg2 = _cfg(tmp_path)
+    cfg2.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg2.DATASETS.ROOT_DIR = query
+    cfg2.OUTPUT_DIR = str(tmp_path / "out_rr")
+    cfg2.TPU.RERANK = True
+    cfg2.TPU.RERANK_K1 = 5
+    cfg2.TPU.RERANK_K2 = 2
+    out = find_similar(
+        cfg2, gallery_data=cfg.OUTPUT_DIR, images_in_subfolders=False,
+        normalize_features=True, topk=5,
+    )
+    assert len(out) == 3
+    for qpath, res in out.items():
+        assert set(res) == {"indices", "paths", "distances"}
+        assert len(res["indices"]) == 5
+        expected = os.path.basename(qpath)[2:]  # strip "q_" prefix
+        assert os.path.basename(res["paths"][0]) == expected
+        assert (np.diff(res["distances"]) >= -1e-6).all()
+    assert os.path.exists(os.path.join(cfg2.OUTPUT_DIR, "results.npy"))
+
+
 def test_get_similar_sharded_matches_single(ckpt_dir, image_dirs, tmp_path):
     """TPU.SHARDED_RETRIEVAL shards the get_similar ranking over the
     8-device mesh; results must match the single-device path."""

@@ -1,0 +1,150 @@
+"""k-reciprocal re-ranking (ops/rerank.py): oracle parity + wiring.
+
+Beyond-parity feature — the reference has no re-ranking (no rerank /
+jaccard / k_reciprocal symbol anywhere in /root/reference), so the oracle
+is tests/np_oracle.py::oracle_rerank, a loop implementation of the spec
+documented in the module (Zhong et al., CVPR 2017).
+"""
+
+import numpy as np
+import pytest
+
+from np_oracle import oracle_rerank
+
+from centroids_reid_tpu.metrics import R1mAP
+from centroids_reid_tpu.ops.rerank import rerank_distmat
+
+
+@pytest.mark.parametrize(
+    "q,g,d,k1,k2,dist",
+    [
+        (10, 40, 16, 8, 4, "euclidean"),
+        (7, 23, 8, 5, 1, "euclidean"),    # k2=1: no query expansion
+        (12, 30, 16, 6, 3, "cosine"),
+        (3, 5, 4, 20, 9, "euclidean"),    # k1 > N-1, k2 > N: clamp path
+        (1, 9, 6, 3, 2, "euclidean"),     # single query
+    ],
+)
+def test_rerank_matches_oracle(q, g, d, k1, k2, dist):
+    rng = np.random.RandomState(42)
+    qf = rng.randn(q, d).astype(np.float32)
+    gf = rng.randn(g, d).astype(np.float32)
+    for lam in (0.3, 0.0):
+        ref = oracle_rerank(qf, gf, k1, k2, lam, dist)
+        got = np.asarray(rerank_distmat(qf, gf, k1, k2, lam, dist))
+        assert got.shape == (q, g)
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_rerank_lambda_one_is_normalized_original():
+    """lambda=1 reproduces the (row-max normalised) original distances —
+    i.e. the original ranking, exactly."""
+    rng = np.random.RandomState(0)
+    qf = rng.randn(9, 12).astype(np.float32)
+    gf = rng.randn(31, 12).astype(np.float32)
+    got = np.asarray(rerank_distmat(qf, gf, 6, 3, 1.0))
+    f = np.concatenate([qf, gf])
+    sq = (f * f).sum(1)
+    dmat = (sq[:, None] + sq[None, :] - 2.0 * f @ f.T).astype(np.float32)
+    dn = dmat / np.maximum(dmat.max(axis=1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(got, dn[:9, 9:], atol=1e-5)
+    assert (
+        np.argsort(got, axis=1) == np.argsort(dmat[:9, 9:], axis=1)
+    ).all()
+
+
+def test_rerank_memory_guard_and_empty():
+    rng = np.random.RandomState(0)
+    with pytest.raises(ValueError, match="max_n"):
+        rerank_distmat(
+            rng.randn(4, 4), rng.randn(8, 4), max_n=10
+        )
+    assert rerank_distmat(np.zeros((0, 4)), rng.randn(5, 4)).shape == (0, 5)
+    assert rerank_distmat(rng.randn(5, 4), np.zeros((0, 4))).shape == (5, 0)
+
+
+def _clustered(rng, pids_q, pids_g, dim=32, noise=0.15):
+    centers = rng.randn(max(max(pids_q), max(pids_g)) + 1, dim) * 3.0
+    qf = np.stack([centers[p] + noise * rng.randn(dim) for p in pids_q])
+    gf = np.stack([centers[p] + noise * rng.randn(dim) for p in pids_g])
+    return qf.astype(np.float32), gf.astype(np.float32)
+
+
+def test_rerank_r1map_integration_clean_clusters():
+    """R1mAP(rerank=True) scores a cleanly clustered set perfectly and
+    exposes the re-ranked matrix for visualisation."""
+    rng = np.random.RandomState(1)
+    q_pids = np.repeat(np.arange(6), 2)
+    g_pids = np.repeat(np.arange(6), 5)
+    qf, gf = _clustered(rng, q_pids, g_pids)
+    feats = np.concatenate([qf, gf])
+    pids = np.concatenate([q_pids, g_pids])
+    camids = np.concatenate(
+        [np.zeros(len(q_pids), int), np.ones(len(g_pids), int)]
+    )
+    ev = R1mAP(num_query=len(q_pids), feat_norm=True, rerank=True,
+               rerank_k1=6, rerank_k2=3)
+    m = ev.compute(feats, pids, camids)
+    assert m.mAP == pytest.approx(1.0, abs=1e-6)
+    assert ev.last_distmat.shape == (len(q_pids), len(g_pids))
+
+
+def test_rerank_improves_noisy_clusters():
+    """The canonical motivation: with moderately overlapping clusters,
+    k-reciprocal gallery context recovers ranks that raw distances get
+    wrong. At seed 1 / noise 2.2 the margin is large (base mAP ~0.89 vs
+    ~0.99 re-ranked; every nearby seed/noise in this regime improves too,
+    +0.02..+0.11 — verified by a 12-point sweep when the test was
+    written), so the assertion is far from flaky."""
+    rng = np.random.RandomState(1)
+    q_pids = np.repeat(np.arange(8), 2)
+    g_pids = np.repeat(np.arange(8), 10)
+    qf, gf = _clustered(rng, q_pids, g_pids, dim=16, noise=2.2)
+    feats = np.concatenate([qf, gf])
+    pids = np.concatenate([q_pids, g_pids])
+    camids = np.concatenate(
+        [np.zeros(len(q_pids), int), np.ones(len(g_pids), int)]
+    )
+    base = R1mAP(num_query=len(q_pids), feat_norm=True).compute(
+        feats, pids, camids
+    )
+    rr = R1mAP(num_query=len(q_pids), feat_norm=True, rerank=True,
+               rerank_k1=10, rerank_k2=5).compute(feats, pids, camids)
+    assert base.mAP < 0.95  # the set is genuinely hard (measured ~0.89)
+    assert rr.mAP > base.mAP + 0.05  # measured ~+0.10
+
+
+def test_rerank_streaming_conflict_raises():
+    rng = np.random.RandomState(0)
+    feats = rng.randn(20, 8).astype(np.float32)
+    ev = R1mAP(num_query=5, rerank=True, streaming=True)
+    with pytest.raises(ValueError, match="streaming"):
+        ev.compute(feats, np.arange(20) % 4, np.zeros(20, int))
+
+
+def test_rerank_cfg_wiring_through_compute_reid_metrics():
+    """TPU.RERANK drives the engine evaluation path (engine/evaluate.py):
+    same metrics as calling R1mAP(rerank=True) directly."""
+    from centroids_reid_tpu.config import get_default_cfg
+    from centroids_reid_tpu.engine.evaluate import compute_reid_metrics
+
+    rng = np.random.RandomState(2)
+    q_pids = np.repeat(np.arange(6), 2)
+    g_pids = np.repeat(np.arange(6), 6)
+    qf, gf = _clustered(rng, q_pids, g_pids, dim=16, noise=2.0)
+    feats = np.concatenate([qf, gf])
+    pids = np.concatenate([q_pids, g_pids])
+    camids = np.concatenate(
+        [np.zeros(len(q_pids), int), np.ones(len(g_pids), int)]
+    )
+    cfg = get_default_cfg()
+    cfg.TPU.RERANK = True
+    cfg.TPU.RERANK_K1 = 8
+    cfg.TPU.RERANK_K2 = 4
+    m = compute_reid_metrics(
+        cfg, feats, pids, camids, num_query=len(q_pids), use_centroids=False
+    )
+    ref = R1mAP(num_query=len(q_pids), feat_norm=True, rerank=True,
+                rerank_k1=8, rerank_k2=4).compute(feats, pids, camids)
+    assert m.mAP == pytest.approx(ref.mAP, abs=1e-6)
+    assert np.allclose(m.cmc, ref.cmc)
