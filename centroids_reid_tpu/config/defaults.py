@@ -196,6 +196,14 @@ def get_default_cfg() -> ConfigNode:
     _C.TPU.RERANK_K1 = 20
     _C.TPU.RERANK_K2 = 6
     _C.TPU.RERANK_LAMBDA = 0.3
+    # > 0 switches get_similar's re-ranking to the windowed variant
+    # (ops/rerank.py::rerank_topk): retrieve this many candidates per
+    # query with the fused top-k kernel, re-rank each query against its
+    # own candidate set. O(r^2) transient memory instead of O((Q+G)^2)
+    # resident — the production form for galleries past the full
+    # re-ranker's ~26k-row guard. Only meaningful with --topk; full-matrix
+    # requests (--topk 0) and evaluation keep the exact full re-ranker.
+    _C.TPU.RERANK_WINDOW = 0
 
     return _C
 

@@ -179,6 +179,38 @@ def find_similar(cfg, gallery_data: str, images_in_subfolders: bool,
     if use_pallas is None:
         use_pallas = cfg.TPU.USE_PALLAS_RETRIEVAL
     k = topk if topk else len(paths_gallery)
+    if cfg.TPU.RERANK and topk and cfg.TPU.RERANK_WINDOW > 0:
+        # windowed re-ranking (ops/rerank.py::rerank_topk): fused top-k
+        # retrieval narrows each query to TPU.RERANK_WINDOW candidates,
+        # then each query is re-ranked against its own candidate set —
+        # O(r^2) transient, so any gallery size the retrieval kernel
+        # handles works here (unlike the full re-ranker's ~26k guard)
+        from ..ops import rerank_topk
+
+        r = max(int(cfg.TPU.RERANK_WINDOW), topk)
+        log.info(
+            "Windowed re-ranking with k-reciprocal encoding (r=%d, "
+            "k1=%d, k2=%d, lambda=%.2f)", r, cfg.TPU.RERANK_K1,
+            cfg.TPU.RERANK_K2, cfg.TPU.RERANK_LAMBDA,
+        )
+        dists, inds = rerank_topk(
+            embeddings, embeddings_gallery, r=r,
+            k1=int(cfg.TPU.RERANK_K1), k2=int(cfg.TPU.RERANK_K2),
+            lambda_value=float(cfg.TPU.RERANK_LAMBDA),
+            dist=cfg.SOLVER.DISTANCE_FUNC, use_pallas=use_pallas,
+        )
+        dists = np.asarray(dists)[:, :topk]
+        inds = np.asarray(inds)[:, :topk]
+        out = {
+            qp: {
+                "indices": inds[i],
+                "paths": paths_gallery[inds[i]],
+                "distances": dists[i],
+            }
+            for i, qp in enumerate(paths)
+        }
+        _save_results(cfg, out, embeddings, paths)
+        return out
     if cfg.TPU.RERANK:
         # k-reciprocal re-ranking (ops/rerank.py, beyond-parity feature):
         # the final ranking needs the full re-ranked [Q, G] matrix, so it

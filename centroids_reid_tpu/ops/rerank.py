@@ -222,3 +222,151 @@ def rerank_distmat(
     jac = _jaccard(v[:q], v[q:], min(_JAC_QB, _ceil_to(q, 8)),
                    min(_JAC_GB, _ceil_to(g, 8)))
     return lam * dn[:q, q:] + (1.0 - lam) * jac
+
+
+# ---------------------------------------------------------------------------
+# Windowed (top-R candidate) re-ranking — production scale
+# ---------------------------------------------------------------------------
+
+# Queries per scan step of the windowed program. Peak per-step state is
+# the [C, R+1, D] candidate gather plus the [C, R+1, R+1] local matrices:
+# C=32, R=500, D=2048 ≈ 131 MB + 32 MB — comfortably transient.
+_WIN_CHUNK = 32
+
+
+def _local_dist(f, dist: str):
+    """[C, n, D] -> [C, n, n] eval-mode distances per candidate set —
+    the batched form of losses/distances.py's eval table (squared
+    euclidean without sqrt / |1-cos| clamped), fp32 accumulation."""
+    f = f.astype(jnp.float32)
+    if dist == "euclidean":
+        sq = jnp.einsum("cnd,cnd->cn", f, f)
+        return (sq[:, :, None] + sq[:, None, :]
+                - 2.0 * jnp.einsum("cnd,cmd->cnm", f, f))
+    if dist == "cosine":
+        fn = f / jnp.maximum(
+            jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12
+        )
+        return jnp.clip(
+            jnp.abs(1.0 - jnp.einsum("cnd,cmd->cnm", fn, fn)), min=1e-12
+        )
+    raise ValueError(dist)
+
+
+def _core_one(d, kk: int, hk: int, k2: int, lam):
+    """Steps 1-7 of the module spec on ONE small candidate set: d is the
+    [n, n] local distance matrix whose row 0 is the query and rows 1..n-1
+    its gallery candidates. Returns the re-ranked distances of the query
+    to the candidates, [n-1]. Same algebra as the full-matrix stages
+    above, un-chunked (n is small) so it vmaps cleanly over a batch of
+    candidate sets."""
+    n = d.shape[0]
+    dn = d / jnp.maximum(d.max(axis=1, keepdims=True), 1e-12)
+    _, rank = jax.lax.top_k(-d, kk)
+    rows = jnp.arange(n, dtype=rank.dtype)
+    back = rank[rank]                                      # [n, kk, kk]
+    recip = (back == rows[:, None, None]).any(-1)          # [n, kk]
+    backh = rank[rank[:, :hk], :hk]                        # [n, hk, hk]
+    reciph = (backh == rows[:, None, None]).any(-1)        # [n, hk]
+    hsize = reciph.sum(-1).astype(jnp.int32)
+
+    ri = jnp.zeros((n, n), jnp.float32).at[rows[:, None], rank].max(
+        recip.astype(jnp.float32)
+    )
+    ch_idx = back[:, :, :hk]                               # [n, kk, hk]
+    ch_msk = reciph[rank]                                  # [n, kk, hk]
+    ri_at = jax.vmap(lambda r, i: r[i])(ri, ch_idx)
+    inter = (ri_at * ch_msk).sum(-1).astype(jnp.int32)
+    sel = recip & (3 * inter > 2 * hsize[rank])
+    grow = (sel[:, :, None] & ch_msk).astype(jnp.float32)
+    rstar = ri.at[rows[:, None, None], ch_idx].max(grow)
+    w = jnp.exp(-dn) * rstar
+    v = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-12)
+    if k2 > 1:
+        v = v[rank[:, :k2]].mean(axis=1)
+
+    vq, vg = v[0], v[1:]
+    minsum = jnp.minimum(vq[None, :], vg).sum(-1)
+    denom = jnp.maximum(vq.sum() + vg.sum(-1) - minsum, 1e-12)
+    jac = 1.0 - minsum / denom
+    return lam * dn[0, 1:] + (1.0 - lam) * jac
+
+
+@partial(jax.jit,
+         static_argnames=("kk", "hk", "k2", "chunk", "dist"))
+def _windowed(qf, gf, idx, lam, kk: int, hk: int, k2: int, chunk: int,
+              dist: str):
+    """One scanned program: per chunk of ``chunk`` queries, gather each
+    query's candidate rows, build the [C, n, n] local distance matrices,
+    and vmap the per-set core. Output [Q, R] re-ranked distances in the
+    candidate order of ``idx``."""
+    q = qf.shape[0]
+    rows_idx = _pad_idx(q, chunk).reshape(-1, chunk)
+
+    def body(_, rows):
+        f = jnp.concatenate(
+            [qf[rows][:, None, :], gf[idx[rows]]], axis=1
+        )                                                  # [C, n, D]
+        d = _local_dist(f, dist)
+        return None, jax.vmap(
+            lambda dd: _core_one(dd, kk, hk, k2, lam)
+        )(d)
+
+    _, out = jax.lax.scan(body, None, rows_idx)
+    return out.reshape(-1, out.shape[-1])[:q]
+
+
+def rerank_topk(
+    qf,
+    gf,
+    r: int = 100,
+    k1: int = 20,
+    k2: int = 6,
+    lambda_value: float = 0.3,
+    dist: str = "euclidean",
+    use_pallas: bool = True,
+    q_chunk: int = _WIN_CHUNK,
+):
+    """Windowed k-reciprocal re-ranking for production-scale galleries:
+    [Q, D] x [G, D] -> re-ranked ``(distances [Q, r], indices [Q, r])``,
+    nearest first.
+
+    Composes the fused retrieval kernel with the re-ranker the TPU way:
+    ``ops.retrieval.topk_retrieval`` first narrows each query to its top-r
+    candidates (any gallery size — the kernel never materialises [Q, G]),
+    then each query is re-ranked against ITS OWN candidate set — exactly
+    ``rerank_distmat(qf[i:i+1], gf[cands_i])`` per query, which is how the
+    oracle tests it. Memory is O(C·r²) transient instead of the full
+    re-ranker's O((Q+G)²) resident, so this is the variant that serves
+    million-row galleries; the trade is that reciprocal neighbourhoods
+    see only the candidate window (the standard deployment approximation
+    for k-reciprocal re-ranking — candidates outside the window keep
+    their original relative order by never entering it).
+
+    ``r`` should comfortably exceed the k you finally keep (r ≈ 5-10× k1
+    works well); it is clamped to the gallery size.
+    """
+    qf = jnp.asarray(qf, jnp.float32)
+    gf = jnp.asarray(gf, jnp.float32)
+    q, g = int(qf.shape[0]), int(gf.shape[0])
+    if q == 0 or g == 0:
+        z = jnp.zeros((q, 0), jnp.float32)
+        return z, z.astype(jnp.int32)
+    r = max(1, min(int(r), g))
+    n = r + 1                    # query + its candidates, per set
+    k1 = max(1, min(int(k1), n - 1))
+    k2 = max(1, min(int(k2), n))
+
+    from .retrieval import topk_retrieval
+
+    _, idx0 = topk_retrieval(qf, gf, r, dist=dist, use_pallas=use_pallas)
+    idx0 = jnp.asarray(idx0)
+    vals = _windowed(
+        qf, gf, idx0, float(lambda_value), k1 + 1, k1 // 2 + 1, k2,
+        max(1, min(q_chunk, q)), dist,
+    )
+    order = jnp.argsort(vals, axis=1)
+    return (
+        jnp.take_along_axis(vals, order, axis=1),
+        jnp.take_along_axis(idx0, order, axis=1),
+    )

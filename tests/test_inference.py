@@ -140,6 +140,38 @@ def test_get_similar_reranked(ckpt_dir, image_dirs, tmp_path):
     assert os.path.exists(os.path.join(cfg2.OUTPUT_DIR, "results.npy"))
 
 
+def test_get_similar_windowed_rerank(ckpt_dir, image_dirs, tmp_path):
+    """TPU.RERANK_WINDOW > 0 routes find_similar through the windowed
+    re-ranker (ops/rerank.py::rerank_topk): same output schema, a
+    byte-identical query still retrieves itself first."""
+    gallery, query = image_dirs
+    cfg = _cfg(tmp_path)
+    cfg.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg.DATASETS.ROOT_DIR = gallery
+    build_embeddings(cfg, images_in_subfolders=False)
+
+    cfg2 = _cfg(tmp_path)
+    cfg2.MODEL.PRETRAIN_PATH = ckpt_dir
+    cfg2.DATASETS.ROOT_DIR = query
+    cfg2.OUTPUT_DIR = str(tmp_path / "out_wrr")
+    cfg2.TPU.RERANK = True
+    cfg2.TPU.RERANK_WINDOW = 6
+    cfg2.TPU.RERANK_K1 = 4
+    cfg2.TPU.RERANK_K2 = 2
+    out = find_similar(
+        cfg2, gallery_data=cfg.OUTPUT_DIR, images_in_subfolders=False,
+        normalize_features=True, topk=3,
+    )
+    assert len(out) == 3
+    for qpath, res in out.items():
+        assert set(res) == {"indices", "paths", "distances"}
+        assert len(res["indices"]) == 3
+        expected = os.path.basename(qpath)[2:]  # strip "q_" prefix
+        assert os.path.basename(res["paths"][0]) == expected
+        assert (np.diff(res["distances"]) >= -1e-6).all()
+    assert os.path.exists(os.path.join(cfg2.OUTPUT_DIR, "results.npy"))
+
+
 def test_get_similar_sharded_matches_single(ckpt_dir, image_dirs, tmp_path):
     """TPU.SHARDED_RETRIEVAL shards the get_similar ranking over the
     8-device mesh; results must match the single-device path."""

@@ -12,7 +12,7 @@ import pytest
 from np_oracle import oracle_rerank
 
 from centroids_reid_tpu.metrics import R1mAP
-from centroids_reid_tpu.ops.rerank import rerank_distmat
+from centroids_reid_tpu.ops.rerank import rerank_distmat, rerank_topk
 
 
 @pytest.mark.parametrize(
@@ -112,6 +112,61 @@ def test_rerank_improves_noisy_clusters():
                rerank_k1=10, rerank_k2=5).compute(feats, pids, camids)
     assert base.mAP < 0.95  # the set is genuinely hard (measured ~0.89)
     assert rr.mAP > base.mAP + 0.05  # measured ~+0.10
+
+
+def _base_eval_dist(qf, gf, dist):
+    if dist == "euclidean":
+        sq_q, sq_g = (qf * qf).sum(1), (gf * gf).sum(1)
+        return sq_q[:, None] + sq_g[None, :] - 2.0 * qf @ gf.T
+    qn = qf / np.maximum(np.linalg.norm(qf, axis=1, keepdims=True), 1e-12)
+    gn = gf / np.maximum(np.linalg.norm(gf, axis=1, keepdims=True), 1e-12)
+    return np.clip(np.abs(1.0 - qn @ gn.T), 1e-12, None)
+
+
+@pytest.mark.parametrize("dist", ["euclidean", "cosine"])
+def test_rerank_topk_matches_per_query_oracle(dist):
+    """Windowed re-ranking == oracle_rerank of each query against its own
+    top-r candidate set (the documented per-query semantics)."""
+    rng = np.random.RandomState(3)
+    qf = rng.randn(6, 12).astype(np.float32)
+    gf = rng.randn(40, 12).astype(np.float32)
+    r, k1, k2, lam = 10, 5, 2, 0.3
+    dists, inds = rerank_topk(qf, gf, r=r, k1=k1, k2=k2,
+                              lambda_value=lam, dist=dist)
+    dists, inds = np.asarray(dists), np.asarray(inds)
+    assert dists.shape == inds.shape == (6, r)
+    d0 = _base_eval_dist(qf, gf, dist)
+    for i in range(len(qf)):
+        cands = np.argsort(d0[i], kind="stable")[:r]
+        vals = oracle_rerank(qf[i:i + 1], gf[cands], k1, k2, lam, dist)[0]
+        order = np.argsort(vals, kind="stable")
+        np.testing.assert_array_equal(inds[i], cands[order])
+        np.testing.assert_allclose(dists[i], vals[order], atol=1e-4)
+
+
+def test_rerank_topk_lambda_one_keeps_base_order():
+    """lambda=1: per-set dn is a positive rescale of each query's own
+    distances, so the windowed re-rank must reproduce the base top-r
+    retrieval order exactly."""
+    rng = np.random.RandomState(4)
+    qf = rng.randn(8, 16).astype(np.float32)
+    gf = rng.randn(60, 16).astype(np.float32)
+    _, inds = rerank_topk(qf, gf, r=12, k1=6, k2=3, lambda_value=1.0)
+    d0 = _base_eval_dist(qf, gf, "euclidean")
+    base = np.argsort(d0, axis=1, kind="stable")[:, :12]
+    np.testing.assert_array_equal(np.asarray(inds), base)
+
+
+def test_rerank_topk_clamps_and_empty():
+    rng = np.random.RandomState(0)
+    qf = rng.randn(3, 8).astype(np.float32)
+    gf = rng.randn(5, 8).astype(np.float32)
+    # r > G clamps to G; k1/k2 beyond the set size clamp too
+    dists, inds = rerank_topk(qf, gf, r=50, k1=30, k2=20)
+    assert np.asarray(dists).shape == np.asarray(inds).shape == (3, 5)
+    assert sorted(np.asarray(inds)[0]) == [0, 1, 2, 3, 4]
+    d, i = rerank_topk(np.zeros((0, 8)), gf)
+    assert np.asarray(d).shape == (0, 0) and np.asarray(i).shape == (0, 0)
 
 
 def test_rerank_streaming_conflict_raises():
