@@ -243,6 +243,83 @@ def extract_embeddings_sharded(
     )
 
 
+def _centroid_gallery_rows(g_pids, g_camids, q_pids, q_camids,
+                           respect_camids: bool) -> int:
+    """EXACT number of gallery rows the centroid eval set will contain,
+    computed from ids alone (metrics/centroids.py's construction depends
+    only on pids/camids, never on embedding values): plain mode is one
+    centroid per gallery pid; camera-aware mode is one per deduplicated
+    used-camera combination per (pid, query camid)."""
+    if not respect_camids:
+        return len(np.unique(g_pids))
+    from collections import defaultdict
+
+    g_by_pid = defaultdict(list)
+    for pid, cam in zip(g_pids, g_camids):
+        g_by_pid[pid].append(cam)
+    q_by_pid = defaultdict(set)
+    for pid, cam in zip(q_pids, q_camids):
+        q_by_pid[pid].add(cam)
+    total = 0
+    for pid, cams in g_by_pid.items():
+        cams = np.asarray(cams)
+        combos = set()
+        for current in q_by_pid.get(pid, ()):
+            used = tuple(sorted(np.unique(cams[cams != current])))
+            if used:
+                combos.add(used)
+        total += len(combos)
+    return total
+
+
+def validate_rerank_config(cfg, dataset) -> None:
+    """Fail-fast validation of the TPU.RERANK x eval-set-size combination
+    at startup — a training run with full re-ranking and a streaming-scale
+    val set must not die hours in at its first EVAL_PERIOD evaluation
+    (the O(N^2) guard otherwise only fires inside R1mAP.compute).
+
+    Checks every eval mode the run will perform (training's final double
+    test and ONLY_TEST both evaluate with AND without centroids) against
+    ops.rerank's memory guard, using the EXACT eval-set sizes derivable
+    from the dataset's ids. Raises ValueError with the fix (set
+    TPU.RERANK_WINDOW for any-scale windowed re-ranking) instead of
+    letting the run proceed."""
+    if not cfg.TPU.RERANK:
+        return
+    if int(cfg.TPU.RERANK_WINDOW) > 0:
+        if cfg.TEST.VISUALIZE == "yes":
+            raise ValueError(
+                "TEST.VISUALIZE needs the materialised distance matrix, "
+                "but windowed re-ranking (TPU.RERANK_WINDOW > 0) "
+                "evaluates on the streaming path — drop one of the two "
+                "settings"
+            )
+        return
+    from ..ops.rerank import DEFAULT_MAX_N
+
+    nq = dataset.num_query
+    val = dataset.val
+    g_pids = np.asarray([r.pid for r in val[nq:]])
+    g_camids = np.asarray([r.camid for r in val[nq:]])
+    q_pids = np.asarray([r.pid for r in val[:nq]])
+    q_camids = np.asarray([r.camid for r in val[:nq]])
+    sizes = {"plain": nq + len(g_pids)}
+    respect = bool(cfg.MODEL.KEEP_CAMID_CENTROIDS)
+    sizes["centroids"] = nq + _centroid_gallery_rows(
+        g_pids, g_camids, q_pids, q_camids, respect
+    )
+    over = {m: n for m, n in sizes.items() if n > DEFAULT_MAX_N}
+    if over:
+        detail = ", ".join(f"{m} eval N={n}" for m, n in over.items())
+        raise ValueError(
+            f"TPU.RERANK (full k-reciprocal re-ranking) holds two [N, N] "
+            f"fp32 matrices in HBM and refuses N > {DEFAULT_MAX_N}; this "
+            f"run would evaluate {detail}. Set TPU.RERANK_WINDOW (e.g. "
+            f"500) for windowed re-ranking at any gallery scale, or "
+            f"disable TPU.RERANK."
+        )
+
+
 def compute_reid_metrics(
     cfg, embeddings, pids, camids, num_query: int, use_centroids: bool,
     return_evaluator: bool = False, streaming: bool = None,
@@ -260,10 +337,18 @@ def compute_reid_metrics(
             embeddings, pids, camids, num_query, respect
         )
         embeddings, pids, camids = es.embeddings, es.labels, es.camids
-    if cfg.TPU.RERANK:
-        # k-reciprocal re-ranking (ops/rerank.py, beyond-parity): pins the
-        # materialising path — R1mAP raises past the O(N^2) memory guard
-        # instead of silently degrading to un-reranked streaming metrics
+    if cfg.TPU.RERANK and cfg.TPU.RERANK_WINDOW > 0:
+        # windowed re-ranked evaluation (streaming rank path, any scale)
+        print("Windowed re-ranking with k-reciprocal encoding (r={}, "
+              "k1={}, k2={}, lambda={})".format(
+                  cfg.TPU.RERANK_WINDOW, cfg.TPU.RERANK_K1,
+                  cfg.TPU.RERANK_K2, cfg.TPU.RERANK_LAMBDA))
+    elif cfg.TPU.RERANK:
+        # full k-reciprocal re-ranking (ops/rerank.py, beyond-parity):
+        # pins the materialising path — R1mAP raises past the O(N^2)
+        # memory guard instead of silently degrading to un-reranked
+        # streaming metrics (validate_rerank_config catches that at
+        # startup)
         print("Re-ranking with k-reciprocal encoding (k1={}, k2={}, "
               "lambda={})".format(cfg.TPU.RERANK_K1, cfg.TPU.RERANK_K2,
                                   cfg.TPU.RERANK_LAMBDA))
@@ -277,6 +362,7 @@ def compute_reid_metrics(
         rerank_k1=int(cfg.TPU.RERANK_K1),
         rerank_k2=int(cfg.TPU.RERANK_K2),
         rerank_lambda=float(cfg.TPU.RERANK_LAMBDA),
+        rerank_window=int(cfg.TPU.RERANK_WINDOW),
     )
     metrics = evaluator.compute(
         embeddings, pids, camids, respect_camids=respect

@@ -15,7 +15,7 @@ from typing import Dict
 from ..data import init_dataset
 from ..models.convert import graft, load_reference_checkpoint
 from .checkpoint import restore_state
-from .evaluate import run_validation
+from .evaluate import run_validation, validate_rerank_config
 from .fit import build_model_and_state, fit
 from .logging import MetricsLogger, latest_version_dir, next_version_dir
 
@@ -80,6 +80,10 @@ def run_single(cfg, mode: str, logger_save_dir: str) -> Dict[str, float]:
 
     dataset = init_dataset(cfg.DATASETS.NAMES, cfg)
     dataset.print_statistics()
+    # fail fast on configs whose evaluation would die mid-run (e.g. full
+    # re-ranking against a streaming-scale val set at the first
+    # EVAL_PERIOD eval, hours in)
+    validate_rerank_config(cfg, dataset)
 
     if cfg.TEST.ONLY_TEST:
         model, params_model, batch_stats = load_model_for_test(cfg, dataset)

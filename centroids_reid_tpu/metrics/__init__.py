@@ -6,7 +6,11 @@ from .centroids import (
 )
 from .eval_reid import K_LIST, ReidMetrics, camid_sets_to_bitmask, eval_func
 from .r1_map import R1mAP, compute_distmat, l2_normalize_rows
-from .streaming_eval import eval_func_streaming
+from .streaming_eval import (
+    compute_stream_ranks,
+    eval_func_streaming,
+    eval_func_streaming_reranked,
+)
 
 __all__ = [
     "CentroidEvalSet",
@@ -19,6 +23,8 @@ __all__ = [
     "eval_func",
     "R1mAP",
     "compute_distmat",
+    "compute_stream_ranks",
     "eval_func_streaming",
+    "eval_func_streaming_reranked",
     "l2_normalize_rows",
 ]

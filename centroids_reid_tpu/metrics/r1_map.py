@@ -73,10 +73,16 @@ class R1mAP:
     gallery over the mesh's gallery axis.
 
     ``rerank``: k-reciprocal re-ranking (ops/rerank.py — beyond-parity
-    feature, the reference has no re-ranking) replaces the distance
-    matrix with the re-ranked one before scoring; inherently O(N^2), so
-    it pins the materialising path and refuses eval sets past the module
-    guard rather than silently falling back."""
+    feature, the reference has no re-ranking). With ``rerank_window=0``
+    it replaces the distance matrix with the fully re-ranked one before
+    scoring — inherently O(N^2), so it pins the materialising path and
+    refuses eval sets past the module guard rather than silently falling
+    back. With ``rerank_window=r > 0`` evaluation runs the WINDOWED
+    re-ranker on the streaming rank path (each query's top-r candidates
+    re-ranked, original order for the tail — streaming_eval.py::
+    eval_func_streaming_reranked), which works at any gallery scale; the
+    window defines the metric's semantics, so it applies regardless of
+    gallery size or the ``streaming`` flag."""
 
     def __init__(
         self,
@@ -90,6 +96,7 @@ class R1mAP:
         rerank_k1: int = 20,
         rerank_k2: int = 6,
         rerank_lambda: float = 0.3,
+        rerank_window: int = 0,
     ):
         self.num_query = num_query
         self.max_rank = max_rank
@@ -101,6 +108,7 @@ class R1mAP:
         self.rerank_k1 = rerank_k1
         self.rerank_k2 = rerank_k2
         self.rerank_lambda = rerank_lambda
+        self.rerank_window = int(rerank_window)
         self._last_distmat_device = None
 
     def compute(
@@ -118,15 +126,32 @@ class R1mAP:
         q_camids = np.asarray(camids[:nq])
         g_camids = np.asarray(camids[nq:])
 
+        if self.rerank and self.rerank_window > 0:
+            # windowed re-ranked evaluation: the window (not gallery
+            # size) defines the metric, and the streaming rank path
+            # handles any scale — takes precedence over ``streaming``
+            from .streaming_eval import eval_func_streaming_reranked
+
+            self._last_distmat_device = None
+            return eval_func_streaming_reranked(
+                qf, gf, q_pids, g_pids, q_camids, g_camids,
+                r=self.rerank_window, k1=self.rerank_k1,
+                k2=self.rerank_k2, lambda_value=self.rerank_lambda,
+                max_rank=self.max_rank, respect_camids=respect_camids,
+                dist=self.dist_name, mesh=self.mesh,
+            )
+
         stream = self.streaming
         if stream is None:
             stream = (not self.rerank
                       and qf.shape[0] * gf.shape[0] > _STREAMING_CELLS)
         if self.rerank and stream:
             raise ValueError(
-                "re-ranking is O(N^2) and incompatible with the streaming "
-                "evaluator; run with streaming=False (small/centroid "
-                "galleries) or disable TPU.RERANK"
+                "full re-ranking is O(N^2) and incompatible with the "
+                "streaming evaluator; set TPU.RERANK_WINDOW > 0 (windowed "
+                "re-ranking at any gallery scale), run with "
+                "streaming=False (small/centroid galleries), or disable "
+                "TPU.RERANK"
             )
         if stream:
             from .streaming_eval import eval_func_streaming

@@ -41,7 +41,7 @@ from __future__ import annotations
 import functools
 from collections import defaultdict
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -247,26 +247,32 @@ def _stream_ranks_sharded_program(mesh, shard_rows: int, g_chunk: int,
     ))
 
 
-def eval_func_streaming(
+class StreamRanks(NamedTuple):
+    """Per-hit rank state from the two streaming passes (host arrays)."""
+
+    pos: np.ndarray       # [Q, H] gallery index of each hit, -1 padded
+    dpos: np.ndarray      # [Q, H] fp32 each hit's extracted distance
+    ranks: np.ndarray     # [Q, H] int32 hit's rank among KEPT entries
+    num_rel: np.ndarray   # [Q] number of hits per query
+
+
+def compute_stream_ranks(
     qf,
     gf,
     q_pids,
     g_pids,
     q_camids,
     g_camids,
-    max_rank: int = 50,
     respect_camids: bool = False,
     dist: str = "euclidean",
     mesh=None,
     g_chunk: int = _G_CHUNK,
-) -> ReidMetrics:
-    """ReidMetrics from raw features without materialising [Q, G].
-
-    Takes FEATURES (already normalised if TEST.FEAT_NORM), not a distance
-    matrix — the point is that the distance matrix never exists. Results
-    match ``eval_func`` on the argsorted matrix exactly (stable-sort tie
-    order included). ``mesh`` shards gallery rows over the mesh's gallery
-    axis."""
+) -> StreamRanks:
+    """The two streaming passes (extract + count) over the whole query
+    set: returns host arrays — each hit's gallery index, distance, and
+    rank among the kept entries. The closed-form metric derivation
+    (``_metrics_from_ranks``) and the windowed re-rank fix-up
+    (``eval_func_streaming_reranked``) both build on these."""
     qf = np.asarray(qf, np.float32)
     # the gallery may be a device array (a 1M x 2048 fp32 gallery is 8 GB —
     # a host round-trip would double-buffer it); keep it wherever it lives
@@ -276,9 +282,6 @@ def eval_func_streaming(
     q_camids = np.asarray(q_camids)
     g_camids = np.asarray(g_camids)
     num_q, num_g = qf.shape[0], gf.shape[0]
-    if num_g < max_rank:
-        max_rank = num_g
-        print(f"Note: number of gallery samples is quite small, got {num_g}")
 
     pos = _positives_table(q_pids, g_pids, q_camids, g_camids,
                            respect_camids)
@@ -350,22 +353,24 @@ def eval_func_streaming(
             )
         dpos_all.append(np.asarray(dpos)[:rows])
         ranks_all.append(np.asarray(ranks)[:rows])
-    dpos = np.concatenate(dpos_all)
-    ranks = np.concatenate(ranks_all)
+    return StreamRanks(
+        pos=pos,
+        dpos=np.concatenate(dpos_all),
+        ranks=np.concatenate(ranks_all),
+        num_rel=num_rel,
+    )
 
-    # -- closed-form metrics from ranks (host; O(Q*H log H)) --------------
+
+def _hrank_lexsort(pos: np.ndarray, dpos: np.ndarray) -> np.ndarray:
+    """hrank[q, h]: hit h's rank among query q's hits by (distance, index)
+    — the stable-argsort tie order.
+
+    Lexsort per query instead of the all-pairs [Q, H, H] "before" count —
+    O(Q*H log H) time and O(Q*H) memory, so a pid-heavy gallery (H in the
+    tens of thousands) stays flat. Invalid (padded) slots sort last via
+    +inf keys; (distance, index) pairs are unique among valid hits, so
+    the sorted position IS the count of strictly-before hits."""
     hvalid = pos >= 0
-    big = np.int64(np.iinfo(np.int32).max)
-    first_rank = np.where(hvalid, ranks, big).min(axis=1)
-    valid_q = num_rel > 0
-    n_valid = max(int(valid_q.sum()), 1)
-
-    # hrank: this hit's rank among the query's hits by (distance, index).
-    # Lexsort per query instead of the all-pairs [Q, H, H] "before" count —
-    # O(Q*H log H) time and O(Q*H) memory, so a pid-heavy gallery (H in the
-    # tens of thousands) stays flat. Invalid (padded) slots sort last via
-    # +inf keys; (distance, index) pairs are unique among valid hits, so
-    # the sorted position IS the count of strictly-before hits.
     d_key = np.where(hvalid, dpos, np.inf)
     i_key = np.where(hvalid, pos, np.iinfo(np.int32).max)
     order = np.lexsort((i_key, d_key), axis=-1)              # [Q, H]
@@ -374,6 +379,27 @@ def eval_func_streaming(
         hrank, order, np.broadcast_to(np.arange(pos.shape[1]), pos.shape),
         axis=1,
     )
+    return hrank
+
+
+def _metrics_from_ranks(
+    pos: np.ndarray,
+    ranks: np.ndarray,
+    hrank: np.ndarray,
+    num_rel: np.ndarray,
+    q_pids: np.ndarray,
+    max_rank: int,
+) -> ReidMetrics:
+    """Closed-form Market-protocol metrics from per-hit ranks (host,
+    O(Q*H)): ``ranks`` is each hit's rank among the query's KEPT gallery
+    entries, ``hrank`` its rank among the query's hits — precision at hit
+    h is (hrank_h + 1) / (ranks_h + 1), AP their mean over num_rel
+    (eval_reid.py:25-92 parity, oracle-tested)."""
+    hvalid = pos >= 0
+    big = np.int64(np.iinfo(np.int32).max)
+    first_rank = np.where(hvalid, ranks, big).min(axis=1)
+    valid_q = num_rel > 0
+    n_valid = max(int(valid_q.sum()), 1)
 
     prec = np.where(hvalid, (hrank + 1) / np.maximum(ranks + 1, 1), 0.0)
     ap = prec.sum(axis=1) / np.maximum(num_rel, 1)
@@ -394,4 +420,165 @@ def eval_func_streaming(
     return ReidMetrics(
         cmc=cmc.astype(np.float64), mAP=mAP, all_topk=topk,
         single_performance=single,
+    )
+
+
+def _clamp_max_rank(max_rank: int, num_g: int) -> int:
+    if num_g < max_rank:
+        print(f"Note: number of gallery samples is quite small, got {num_g}")
+        return num_g
+    return max_rank
+
+
+def eval_func_streaming(
+    qf,
+    gf,
+    q_pids,
+    g_pids,
+    q_camids,
+    g_camids,
+    max_rank: int = 50,
+    respect_camids: bool = False,
+    dist: str = "euclidean",
+    mesh=None,
+    g_chunk: int = _G_CHUNK,
+) -> ReidMetrics:
+    """ReidMetrics from raw features without materialising [Q, G].
+
+    Takes FEATURES (already normalised if TEST.FEAT_NORM), not a distance
+    matrix — the point is that the distance matrix never exists. Results
+    match ``eval_func`` on the argsorted matrix exactly (stable-sort tie
+    order included). ``mesh`` shards gallery rows over the mesh's gallery
+    axis."""
+    sr = compute_stream_ranks(
+        qf, gf, q_pids, g_pids, q_camids, g_camids,
+        respect_camids=respect_camids, dist=dist, mesh=mesh,
+        g_chunk=g_chunk,
+    )
+    max_rank = _clamp_max_rank(max_rank, int(gf.shape[0]))
+    return _metrics_from_ranks(
+        sr.pos, sr.ranks, _hrank_lexsort(sr.pos, sr.dpos), sr.num_rel,
+        np.asarray(q_pids), max_rank,
+    )
+
+
+def _window_positions(ridx: np.ndarray, pos: np.ndarray,
+                      num_g: int) -> np.ndarray:
+    """For each hit ``pos[q, h]``, its position in query q's re-ranked
+    window ``ridx[q, :]`` — or -1 when the hit is outside the window.
+    Vectorised row-batched lookup: per-row sort + one global searchsorted
+    over (row * (G+1) + index) keys (rows are disjoint key ranges, and the
+    -1 pad key row*(G+1)-1 can never collide with a real key because real
+    in-row offsets stop at G-1)."""
+    nq, r = ridx.shape
+    base = np.arange(nq, dtype=np.int64)[:, None] * (num_g + 1)
+    order = np.argsort(ridx, axis=1, kind="stable")
+    sorted_idx = np.take_along_axis(ridx, order, axis=1)
+    flat = (sorted_idx.astype(np.int64) + base).ravel()
+    keys = (pos.astype(np.int64) + base).ravel()
+    loc = np.searchsorted(flat, keys)
+    found = (loc < flat.size) & (flat[np.minimum(loc, flat.size - 1)] == keys)
+    loc = loc.reshape(nq, -1)
+    found = found.reshape(nq, -1)
+    local = np.clip(loc - np.arange(nq, dtype=np.int64)[:, None] * r,
+                    0, r - 1)
+    wpos = np.take_along_axis(order, local, axis=1)
+    return np.where(found, wpos, -1)
+
+
+def eval_func_streaming_reranked(
+    qf,
+    gf,
+    q_pids,
+    g_pids,
+    q_camids,
+    g_camids,
+    r: int = 500,
+    k1: int = 20,
+    k2: int = 6,
+    lambda_value: float = 0.3,
+    max_rank: int = 50,
+    respect_camids: bool = False,
+    dist: str = "euclidean",
+    mesh=None,
+    use_pallas: bool = True,
+    g_chunk: int = _G_CHUNK,
+) -> ReidMetrics:
+    """Streaming metrics under WINDOWED k-reciprocal re-ranking — the
+    evaluation-path composition of the streaming rank counter with
+    ``ops.rerank.rerank_topk``, so ``TPU.RERANK`` works at ANY gallery
+    scale (the full re-ranker's O(N^2) guard stops at ~26k rows; the
+    reference's own scale mechanism is host chunking,
+    /root/reference/utils/reid_metric.py:93-110, which re-ranking must
+    likewise respect).
+
+    Ranking semantics (per query): positions 0..r-1 are the re-ranked
+    top-r candidate window (``rerank_topk`` order), positions r.. keep
+    the original (distance, index) stable order. Metrics follow from the
+    per-hit ranks without ever materialising [Q, G]:
+
+    * a hit OUTSIDE the window keeps its streaming rank/hit-rank — the
+      window is a permutation of the original top-r, so every window
+      entry precedes every tail entry in both orders and tail counts are
+      unchanged;
+    * a hit INSIDE the window takes rank = #kept window entries before
+      its re-ranked position and hit-rank = #window hits before it
+      (tail hits all rank after).
+
+    With ``r >= G`` the stitched ranking IS the full windowed re-ranked
+    order (oracle-tested against ``eval_func`` on the explicit stitched
+    indices in tests/test_streaming_eval.py). Ties between re-ranked
+    values resolve in candidate-window order rather than gallery-index
+    order — measure-zero for float distances.
+    """
+    from ..ops.rerank import rerank_topk
+
+    q_pids = np.asarray(q_pids)
+    g_pids = np.asarray(g_pids)
+    q_camids = np.asarray(q_camids)
+    g_camids = np.asarray(g_camids)
+    # one device copy of the (possibly multi-GB) gallery, shared by the
+    # streaming pass and the candidate-window retrieval
+    gf = jnp.asarray(gf, jnp.float32)
+    sr = compute_stream_ranks(
+        qf, gf, q_pids, g_pids, q_camids, g_camids,
+        respect_camids=respect_camids, dist=dist, mesh=mesh,
+        g_chunk=g_chunk,
+    )
+    num_g = int(gf.shape[0])
+
+    _, ridx = rerank_topk(
+        qf, gf, r=r, k1=k1, k2=k2, lambda_value=lambda_value, dist=dist,
+        use_pallas=use_pallas, mesh=mesh,
+    )
+    ridx = np.asarray(ridx)                     # [Q, r] re-ranked window
+
+    # keep/hit masks per window entry under the protocol's junk-removal
+    # rule (same-pid + same-camid discarded; bitmask membership when
+    # respect_camids — eval_reid.py:49-58)
+    wp = g_pids[ridx]
+    match = wp == q_pids[:, None]
+    if respect_camids:
+        wc = g_camids[ridx].astype(np.int64)
+        same = ((wc >> q_camids[:, None].astype(np.int64)) & 1) == 1
+    else:
+        same = g_camids[ridx] == q_camids[:, None]
+    keep = ~(match & same)
+    hit = match & keep
+    kept_before = np.cumsum(keep, axis=1) - keep   # exclusive cumsums
+    hits_before = np.cumsum(hit, axis=1) - hit
+
+    win_pos = _window_positions(ridx, sr.pos, num_g)
+    in_win = win_pos >= 0
+    j = np.clip(win_pos, 0, ridx.shape[1] - 1)
+    ranks = np.where(
+        in_win, np.take_along_axis(kept_before, j, axis=1), sr.ranks
+    )
+    hrank = np.where(
+        in_win, np.take_along_axis(hits_before, j, axis=1),
+        _hrank_lexsort(sr.pos, sr.dpos),
+    )
+    max_rank = _clamp_max_rank(max_rank, num_g)
+    return _metrics_from_ranks(
+        sr.pos, ranks, hrank, sr.num_rel, q_pids, max_rank,
     )

@@ -204,7 +204,10 @@ def rerank_distmat(
             f"re-ranking for galleries at this scale."
         )
     k1 = max(1, min(int(k1), n - 1))
-    k2 = max(1, min(int(k2), n))
+    # the rank matrix only carries k1+1 columns, so the effective local
+    # query-expansion neighbourhood is min(k2, k1+1) — clamp explicitly
+    # (the oracle's rank[:, :k2] slice has the same semantics implicitly)
+    k2 = max(1, min(int(k2), k1 + 1))
     kk = k1 + 1
     hk = k1 // 2 + 1
     lam = float(lambda_value)
@@ -326,10 +329,17 @@ def rerank_topk(
     dist: str = "euclidean",
     use_pallas: bool = True,
     q_chunk: int = _WIN_CHUNK,
+    mesh=None,
 ):
     """Windowed k-reciprocal re-ranking for production-scale galleries:
     [Q, D] x [G, D] -> re-ranked ``(distances [Q, r], indices [Q, r])``,
     nearest first.
+
+    ``mesh``: a Mesh with a gallery axis routes the candidate-window
+    selection through the gallery-sharded retrieval path
+    (parallel/retrieval.py::sharded_topk — capacity = the mesh's
+    aggregate HBM); the per-candidate-set re-rank core is O(Q·r²) and
+    stays a single replicated program either way.
 
     Composes the fused retrieval kernel with the re-ranker the TPU way:
     ``ops.retrieval.topk_retrieval`` first narrows each query to its top-r
@@ -355,11 +365,18 @@ def rerank_topk(
     r = max(1, min(int(r), g))
     n = r + 1                    # query + its candidates, per set
     k1 = max(1, min(int(k1), n - 1))
-    k2 = max(1, min(int(k2), n))
+    k2 = max(1, min(int(k2), k1 + 1))  # rank has k1+1 columns (see above)
 
-    from .retrieval import topk_retrieval
+    if mesh is not None:
+        from ..parallel.retrieval import sharded_topk
 
-    _, idx0 = topk_retrieval(qf, gf, r, dist=dist, use_pallas=use_pallas)
+        _, idx0 = sharded_topk(qf, gf, r, mesh, dist=dist)
+    else:
+        from .retrieval import topk_retrieval
+
+        _, idx0 = topk_retrieval(
+            qf, gf, r, dist=dist, use_pallas=use_pallas
+        )
     idx0 = jnp.asarray(idx0)
     vals = _windowed(
         qf, gf, idx0, float(lambda_value), k1 + 1, k1 // 2 + 1, k2,
