@@ -63,6 +63,50 @@ DEFAULT_PLATFORMS = ("tpu", "cpu")
 # export
 # ---------------------------------------------------------------------
 
+def _serving_embed_fn(model, cfg, params, batch_stats, *, normalize: bool,
+                      int8_qfn, ingest: str = "rgb"):
+    """The serving embed program body shared by both artifact kinds:
+    uint8 in (RGB [B,H,W,3], or packed planar YUV420 [B, 1.5*H*W] when
+    ``ingest="yuv420"`` — the TPU.FAST_DECODE wire format), device-side
+    normalize, backbone+BNNeck embed (or the int8 PTQ program with the
+    qtree baked in as constants — artifact self-containment), optional
+    L2-normalize. Byte-identical semantics to ``RetrievalService``'s
+    embed stage (service.py::embed_q)."""
+    import jax.numpy as jnp
+
+    from ..data.transforms import normalize_batch, normalize_yuv420_batch
+
+    size_hw = tuple(int(v) for v in cfg.INPUT.SIZE_TEST)
+    mean = tuple(float(v) for v in cfg.INPUT.PIXEL_MEAN)
+    std = tuple(float(v) for v in cfg.INPUT.PIXEL_STD)
+    emb_dtype = jnp.bfloat16 if cfg.USE_MIXED_PRECISION else jnp.float32
+
+    if int8_qfn is not None:
+        qtree = int8_qfn.qtree
+
+    def embed(imgs_u8):
+        if int8_qfn is not None:
+            e = int8_qfn.apply(qtree, imgs_u8)
+        else:
+            if ingest == "yuv420":
+                x = normalize_yuv420_batch(
+                    imgs_u8, size_hw, mean, std, dtype=emb_dtype
+                )
+            else:
+                x = normalize_batch(imgs_u8, mean, std, dtype=emb_dtype)
+            e = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, method=model.embed,
+            )
+        if normalize:
+            e = e / jnp.maximum(
+                jnp.linalg.norm(e, axis=1, keepdims=True), 1e-12
+            )
+        return e
+
+    return embed
+
+
 def export_embedder(
     model, cfg, params, batch_stats, *,
     normalize: bool = True,
@@ -81,40 +125,19 @@ def export_embedder(
     import jax.numpy as jnp
     from jax import export as jexport
 
-    from ..data.transforms import normalize_batch
-
     h, w = (int(v) for v in cfg.INPUT.SIZE_TEST)
     mean = tuple(float(v) for v in cfg.INPUT.PIXEL_MEAN)
     std = tuple(float(v) for v in cfg.INPUT.PIXEL_STD)
-    emb_dtype = jnp.bfloat16 if cfg.USE_MIXED_PRECISION else jnp.float32
 
-    if int8_qfn is not None:
-        if batch_size is None:
-            raise ValueError(
-                "int8 export needs a fixed batch_size (the quantized "
-                "program is deployed at one static serving shape)"
-            )
-        qtree = int8_qfn.qtree
-
-        def embed(imgs_u8):
-            e = int8_qfn.apply(qtree, imgs_u8)
-            if normalize:
-                e = e / jnp.maximum(
-                    jnp.linalg.norm(e, axis=1, keepdims=True), 1e-12
-                )
-            return e
-    else:
-        def embed(imgs_u8):
-            x = normalize_batch(imgs_u8, mean, std, dtype=emb_dtype)
-            e = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                x, method=model.embed,
-            )
-            if normalize:
-                e = e / jnp.maximum(
-                    jnp.linalg.norm(e, axis=1, keepdims=True), 1e-12
-                )
-            return e
+    if int8_qfn is not None and batch_size is None:
+        raise ValueError(
+            "int8 export needs a fixed batch_size (the quantized "
+            "program is deployed at one static serving shape)"
+        )
+    embed = _serving_embed_fn(
+        model, cfg, params, batch_stats, normalize=normalize,
+        int8_qfn=int8_qfn,
+    )
 
     if batch_size is None:
         (b,) = jexport.symbolic_shape("b")
@@ -208,89 +231,84 @@ def export_retriever(
     platforms: Sequence[str] = DEFAULT_PLATFORMS,
     int8_qfn=None,
 ):
-    """Serialize the ONE-dispatch embed+rank serving program together with
-    its gallery. Returns ``(blob, meta, aux)`` for ``save_artifact``.
+    """Serialize the retriever artifact: the serving EMBED program
+    (StableHLO, weights baked in) + the gallery rows/paths in the aux
+    section. Returns ``(blob, meta, aux)`` for ``save_artifact``.
 
     This is the second half of the deployment story: the embedder
     artifact replaces the reference's code+ckpt embed stage
-    (create_embeddings.py:73-85), and this replaces the rank stage
-    (get_similar.py:112-119) *fused with it* — the exported function is
-    byte-identical to ``RetrievalService``'s jitted query program
-    (service.py::run): uint8 queries in, device-side normalize + backbone
-    + BNNeck (+ L2) + fused distance/top-k against the resident gallery +
-    exact fp32 re-score, ``(distances [B,k], indices [B,k])`` out. The
-    weights ride inside the StableHLO as constants; the gallery rows +
-    paths ride in the artifact's aux section and are attached at load, so
-    a serving host needs the artifact file and JAX — no model code, no
-    checkpoint, no index directory.
+    (create_embeddings.py:73-85), and this replaces the rank stage too
+    (get_similar.py:112-119) — ``load_retriever`` attaches the aux
+    gallery on device and ranks through the LIVE
+    ``service.ranked_query`` program (kernel-dtype selection + exact
+    fp32 re-score), i.e. the very same ranking path the live
+    ``RetrievalService`` dispatches. Ranking has no weights, so
+    self-containment is preserved: a serving host needs the artifact
+    file, JAX, and this package — no model code, no checkpoint, no index
+    directory — while TPU hosts get the Pallas/bf16 selection kernels
+    instead of the ~4x slower exact-fp32 XLA path a fused cross-platform
+    StableHLO program would have had to pin (round-4 verdict item #2:
+    only trace-time-portable code can ride in the artifact; backend
+    choices belong at load time).
 
-    Pinned to the exact fp32 XLA selection path (``use_pallas=False``):
-    a cross-platform module must not bake trace-time backend decisions,
-    and Mosaic kernels do not lower for the "cpu" entry of ``platforms``.
-    bf16-kernel serving keeps using a live ``RetrievalService``.
-    ``batch_size`` is required (the program ships at one static query
-    shape; the loader pads partial batches). Sharded (mesh) galleries
-    are runtime machinery, not artifacts — build the service instead.
+    ``batch_size`` is required (the embed program ships at one static
+    query shape; the loader pads partial batches). Sharded (mesh)
+    galleries are runtime machinery, not artifacts — build the service
+    instead.
     """
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
-    from .service import RetrievalService
+    from ..data.transforms import ingest_item_shape
+    from .utils import serving_ingest_format
 
     if batch_size is None:
         raise ValueError("retriever export needs a fixed batch_size")
-    svc = RetrievalService(
-        cfg, gallery_embeddings, gallery_paths, k=k, normalize=normalize,
-        use_bf16_kernel=False, model_bundle=(model, params, batch_stats),
-        int8_qfn=int8_qfn, use_pallas=False,
-    )
-    run = svc._run
-    params_c, bstats_c = svc.params, svc.batch_stats
-
-    def ranked(gf, gf32, gn, imgs_u8):
-        return run(params_c, bstats_c, gf, gf32, gn, imgs_u8)
-
-    from ..data.transforms import ingest_item_shape
-
     h, w = (int(v) for v in cfg.INPUT.SIZE_TEST)
     b = int(batch_size)
-    ingest = svc.ingest_format
+    ingest = "rgb" if int8_qfn is not None else serving_ingest_format(cfg)
+    embed = _serving_embed_fn(
+        model, cfg, params, batch_stats, normalize=normalize,
+        int8_qfn=int8_qfn, ingest=ingest,
+    )
     imgs_spec = jax.ShapeDtypeStruct(
         (b, *ingest_item_shape(ingest, (h, w))), jnp.uint8
     )
-    specs = tuple(
-        jax.ShapeDtypeStruct(a.shape, a.dtype)
-        for a in (svc._gf, svc._gf32, svc._gn)
-    ) + (imgs_spec,)
     exported = jexport.export(
-        jax.jit(ranked), platforms=tuple(platforms)
-    )(*specs)
+        jax.jit(embed), platforms=tuple(platforms)
+    )(imgs_spec)
 
-    # aux: NORMALIZED fp32 gallery (pre-pad) + paths; the loader re-derives
-    # the padded kernel array and inf-padded norms with the same
-    # service-side host math (_pad_gallery), reproducing svc's arrays
-    # bit-exactly
+    # aux: NORMALIZED fp32 gallery + paths (the same host math the live
+    # service applies, service.py gallery setup); the loader re-derives
+    # the padded kernel-dtype array and inf-padded norms with
+    # service._pad_gallery, reproducing the service's arrays bit-exactly
+    gf32 = np.asarray(gallery_embeddings, np.float32)
+    if normalize:
+        gf32 = gf32 / np.maximum(
+            np.linalg.norm(gf32, axis=1, keepdims=True), 1e-12
+        )
+    paths = np.asarray(gallery_paths)
+
     import io
 
     buf = io.BytesIO()
-    np.savez(
-        buf,
-        gallery=np.asarray(svc._gf32, np.float32),
-        paths=np.asarray(svc.paths),
-    )
+    np.savez(buf, gallery=gf32, paths=paths)
     aux = buf.getvalue()
 
+    out_aval = exported.out_avals[0]
     meta = {
         "format_version": FORMAT_VERSION_AUX,  # carries an aux section
         "kind": "retriever",
+        "rank_stage": "live",  # ranking runs service.ranked_query at load
         "model_name": str(cfg.MODEL.NAME),
         "quantized": int8_qfn is not None,
         "input_size_hw": [h, w],
         "batch_size": b,
-        "k": int(svc.k),
-        "gallery_size": int(len(svc.paths)),
-        "emb_dim": int(svc._gf32.shape[1]),
+        "k": int(min(k, len(paths))),
+        "gallery_size": int(len(paths)),
+        "emb_dim": int(gf32.shape[1]),
+        "emb_dtype": str(np.dtype(out_aval.dtype)),
         "normalized": bool(normalize),
         "ingest": ingest,
         "pixel_mean": [float(v) for v in cfg.INPUT.PIXEL_MEAN],
@@ -326,6 +344,7 @@ class LoadedEmbedder:
         # (a bare exported.call would re-lower every invocation) + a
         # compile counter for the no-compile-after-warmup contract
         self._call = jax.jit(exported.call)
+        self._shapes: set = set()
 
     @property
     def input_size_hw(self):
@@ -333,8 +352,11 @@ class LoadedEmbedder:
 
     @property
     def num_compiles(self) -> int:
-        """Distinct compiled shapes so far (warmup/no-recompile checks)."""
-        return int(self._call._cache_size())
+        """Distinct dispatched shapes so far (warmup/no-recompile
+        checks). Each distinct shape is exactly one compile of the
+        jit-wrapped program; counted host-side because jax.jit's
+        ``_cache_size`` is a private API that changes across releases."""
+        return len(self._shapes)
 
     def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
         """Compile ahead of traffic. Fixed-batch artifacts have exactly
@@ -361,6 +383,7 @@ class LoadedEmbedder:
             )
         n = imgs_u8.shape[0]
         if self._fixed is None:
+            self._shapes.add(imgs_u8.shape)
             return np.asarray(self._call(imgs_u8))
         bs = int(self._fixed)
         out = []
@@ -371,6 +394,7 @@ class LoadedEmbedder:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, h, w, 3), np.uint8)]
                 )
+            self._shapes.add(chunk.shape)
             e = np.asarray(self._call(chunk))
             out.append(e[: bs - pad] if pad else e)
         return np.concatenate(out) if out else np.zeros(
@@ -398,30 +422,55 @@ class LoadedRetriever:
     (inference/server.py): ``k``, ``paths``, ``model_name``,
     ``ingest_format``, ``ingest_bytes``, ``query_arrays``/``query_bytes``.
     The gallery rides in the artifact's aux npz and is device_put once
-    here; queries pad to the artifact's fixed batch and dispatch the ONE
-    exported embed+rank program.
+    here; queries pad to the artifact's fixed batch, dispatch the
+    exported embed program, and rank through the LIVE
+    ``service.ranked_query`` program over the attached gallery — the
+    same kernel-dtype selection + exact fp32 re-score path the live
+    service runs, so artifact serving pays no ranking-latency penalty.
+
+    ``use_bf16_kernel``: selection kernel dtype — ``None`` (default)
+    auto-selects bf16 + Pallas on TPU backends and exact fp32 XLA
+    elsewhere, mirroring the live server's default; pass ``False`` to
+    force exact fp32 selection (the ``--fp32_exact`` serving flag).
     """
 
-    def __init__(self, exported, meta: dict, aux: bytes):
+    def __init__(self, exported, meta: dict, aux: bytes, *,
+                 use_bf16_kernel: Optional[bool] = None,
+                 use_pallas: bool = True):
         import io
+        from functools import partial
 
         import jax
         import jax.numpy as jnp
 
         from ..ops.retrieval import _G_TILE
-        from .service import _pad_gallery
+        from .service import _pad_gallery, ranked_query
 
+        if meta.get("rank_stage") != "live":
+            raise ValueError(
+                "this retriever artifact carries a fused embed+rank "
+                "program (pre-v5 export); re-export it with the current "
+                "export_retriever — artifacts now ship the embed stage "
+                "and rank through the live service path"
+            )
         self.meta = meta
         self._bs = int(meta["batch_size"])
         self.k = int(meta["k"])
         with np.load(io.BytesIO(aux), allow_pickle=True) as z:
             gallery = np.asarray(z["gallery"], np.float32)
             self.paths = z["paths"]
+        if use_bf16_kernel is None:
+            use_bf16_kernel = jax.default_backend() == "tpu"
+        kernel_dtype = jnp.bfloat16 if use_bf16_kernel else jnp.float32
         gf, gn = _pad_gallery(gallery, _G_TILE)
-        self._gf = jax.device_put(jnp.asarray(gf, jnp.float32))
+        self._gf = jax.device_put(jnp.asarray(gf, kernel_dtype))
         self._gf32 = jax.device_put(jnp.asarray(gallery, jnp.float32))
         self._gn = jax.device_put(jnp.asarray(gn, jnp.float32)[None, :])
         self._call = jax.jit(exported.call)
+        self._rank = jax.jit(
+            partial(ranked_query, k=self.k, use_pallas=use_pallas)
+        )
+        self._shapes: set = set()
 
     @property
     def model_name(self) -> str:
@@ -437,7 +486,10 @@ class LoadedRetriever:
 
     @property
     def num_compiles(self) -> int:
-        return int(self._call._cache_size())
+        """Distinct dispatched query shapes so far (each compiles the
+        embed + rank program pair exactly once; counted host-side, not
+        via jax.jit's private ``_cache_size``)."""
+        return len(self._shapes)
 
     def warmup(self) -> None:
         """Compile + first-dispatch ahead of traffic (one program shape)."""
@@ -466,7 +518,11 @@ class LoadedRetriever:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + want, np.uint8)]
                 )
-            d, idx = self._call(self._gf, self._gf32, self._gn, chunk)
+            self._shapes.add(chunk.shape)
+            # embed output stays on device; the rank program consumes it
+            # without a host round-trip
+            e = self._call(chunk)
+            d, idx = self._rank(e, self._gf, self._gf32, self._gn)
             rows = bs - pad
             ds.append(np.asarray(d)[:rows])
             idxs.append(np.asarray(idx)[:rows])
@@ -488,7 +544,8 @@ class LoadedRetriever:
         return self.query_arrays(self.ingest_bytes(blobs))
 
 
-def load_retriever(path: str) -> LoadedRetriever:
+def load_retriever(path: str, *, use_bf16_kernel: Optional[bool] = None,
+                   use_pallas: bool = True) -> LoadedRetriever:
     from jax import export as jexport
 
     blob, meta, aux = _read_artifact_sections(path)
@@ -498,7 +555,10 @@ def load_retriever(path: str) -> LoadedRetriever:
     if not aux:
         raise ValueError(f"{path}: retriever artifact has no gallery aux "
                          "section (truncated file?)")
-    return LoadedRetriever(jexport.deserialize(bytearray(blob)), meta, aux)
+    return LoadedRetriever(
+        jexport.deserialize(bytearray(blob)), meta, aux,
+        use_bf16_kernel=use_bf16_kernel, use_pallas=use_pallas,
+    )
 
 
 # ---------------------------------------------------------------------

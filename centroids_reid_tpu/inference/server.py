@@ -627,7 +627,10 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
         # the service surface the server needs
         from .export import load_retriever
 
-        retriever = load_retriever(args.artifact)
+        retriever = load_retriever(
+            args.artifact,
+            use_bf16_kernel=False if args.fp32_exact else None,
+        )
         retriever.warmup()  # first request must not pay the compile
         return RetrievalHTTPServer(
             retriever, args.host, args.port,

@@ -21,6 +21,49 @@ from ..ops.retrieval import _G_TILE, _SCORE_BUDGET_BYTES, topk_select
 from .api import load_inference_model
 
 
+def ranked_query(e, gf, gf32, gn, k: int, use_pallas: bool = True):
+    """[B, D] embeddings -> exact-fp32-sorted ``(distances [B, k],
+    indices [B, k])`` against a resident (padded) gallery.
+
+    The shared ranking half of the one-dispatch query program: pad
+    queries to the kernel's 128-row tile, kernel-dtype selection
+    (``ops.retrieval.topk_select`` — Pallas on bf16/TPU, exact XLA on
+    fp32), then exact fp32 re-score + stable sort of the winners.
+    Used inside ``RetrievalService``'s jitted ``run`` AND as
+    ``LoadedRetriever``'s live rank stage (inference/export.py), so an
+    artifact-served query ranks through the very same program as the
+    live service."""
+    eq = e.astype(gf.dtype)
+    pad_q = (-eq.shape[0]) % 128
+    if pad_q:
+        eq = jnp.concatenate(
+            [eq, jnp.zeros((pad_q, eq.shape[1]), eq.dtype)]
+        )
+    # ONE selection entry for every k (ops.retrieval.topk_select): bf16
+    # galleries rank on the Pallas kernels (streaming merge at k <= 32,
+    # score kernel + hierarchical top-k beyond — the reference CLI's
+    # canonical depth is k=100,
+    # /root/reference/inference/get_similar.py:57), fp32 galleries on
+    # the exact XLA score path.
+    val, idx = topk_select(eq, gf, gn, k, use_pallas=use_pallas)
+    val, idx = val[: e.shape[0]], idx[: e.shape[0]]
+    # exact re-score + sort of the winners in fp32 (the astype is a
+    # no-op with the fp32 copy; with exact_rescore=False it widens the
+    # kernel-dtype rows so arithmetic stays fp32)
+    g_sel = jnp.take(gf32, idx, axis=0).astype(jnp.float32)
+    e32 = e.astype(jnp.float32)
+    d = (
+        jnp.sum(e32 * e32, axis=1)[:, None]
+        + jnp.sum(g_sel * g_sel, axis=2)
+        - 2.0 * jnp.einsum("qd,qkd->qk", e32, g_sel)
+    )
+    order = jnp.argsort(d, axis=1, stable=True)
+    return (
+        jnp.take_along_axis(d, order, axis=1),
+        jnp.take_along_axis(idx, order, axis=1),
+    )
+
+
 def _pad_gallery(gf: np.ndarray, unit: int):
     """Pad gallery rows to a multiple of ``unit``; returns (gf, gn) where
     padded rows are zero vectors with +inf squared norm so they can never
@@ -218,35 +261,8 @@ class RetrievalService:
         @jax.jit
         def run(params, batch_stats, gf, gf32, gn, imgs_u8):
             e = embed_q(params, batch_stats, imgs_u8)
-            eq = e.astype(gf.dtype)
-            pad_q = (-eq.shape[0]) % 128
-            if pad_q:
-                eq = jnp.concatenate(
-                    [eq, jnp.zeros((pad_q, eq.shape[1]), eq.dtype)]
-                )
-            # ONE selection entry for every k (ops.retrieval.topk_select):
-            # bf16 galleries rank on the Pallas kernels (streaming merge at
-            # k <= 32, score kernel + hierarchical top-k beyond — the
-            # reference CLI's canonical depth is k=100,
-            # /root/reference/inference/get_similar.py:57), fp32 galleries
-            # on the exact XLA score path. Round 2 routed k > 32 through
-            # the ~4x slower chunked XLA fallback here.
-            val, idx = topk_select(eq, gf, gn, k_eff, use_pallas=use_pallas)
-            val, idx = val[: e.shape[0]], idx[: e.shape[0]]
-            # exact re-score + sort of the winners in fp32 (the astype is
-            # a no-op with the fp32 copy; with exact_rescore=False it
-            # widens the kernel-dtype rows so arithmetic stays fp32)
-            g_sel = jnp.take(gf32, idx, axis=0).astype(jnp.float32)
-            d = (
-                jnp.sum(e.astype(jnp.float32) ** 2, axis=1)[:, None]
-                + jnp.sum(g_sel * g_sel, axis=2)
-                - 2.0 * jnp.einsum("qd,qkd->qk", e.astype(jnp.float32), g_sel)
-            )
-            order = jnp.argsort(d, axis=1, stable=True)
-            return (
-                jnp.take_along_axis(d, order, axis=1),
-                jnp.take_along_axis(idx, order, axis=1),
-            )
+            return ranked_query(e, gf, gf32, gn, k_eff,
+                                use_pallas=use_pallas)
 
         self._run = run
         if self.mesh is not None:

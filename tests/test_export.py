@@ -412,6 +412,56 @@ def test_retriever_artifact_serves_without_checkpoint(tmp_path):
                 proc.kill()
 
 
+def test_retriever_live_rank_stage(tmp_path):
+    """Round-5 artifact contract: the exported program is the EMBED stage
+    only and ranking runs the live service path at load — so the bf16
+    kernel config matches the live service's rankings too, and pre-v5
+    fused-rank artifacts are rejected with the re-export message."""
+    from centroids_reid_tpu.inference import RetrievalService
+    from centroids_reid_tpu.inference.export import (
+        export_retriever,
+        load_retriever,
+    )
+
+    cfg = _cfg()
+    model, params, batch_stats = _tiny_model(cfg)
+    rng = np.random.RandomState(9)
+    emb = rng.randn(40, 512).astype(np.float32)
+    paths = np.array([f"item_{i:03d}" for i in range(40)])
+    blob, meta, aux = export_retriever(
+        model, cfg, params, batch_stats, emb, paths, k=5, batch_size=4,
+        platforms=("cpu",),
+    )
+    assert meta["rank_stage"] == "live"
+    path = str(tmp_path / "retriever.crtpu")
+    save_artifact(path, blob, meta, aux=aux)
+
+    imgs = rng.randint(0, 256, (4, 32, 16, 3), np.uint8)
+    svc = RetrievalService(
+        cfg, emb, paths, k=5, normalize=True, use_bf16_kernel=False,
+        model_bundle=(model, params, batch_stats),
+    )
+    ret = load_retriever(path, use_bf16_kernel=False)
+    d_s, i_s, _ = svc.query_arrays(imgs)
+    d_a, i_a, _ = ret.query_arrays(imgs)
+    np.testing.assert_array_equal(i_a, i_s)
+    np.testing.assert_allclose(d_a, d_s, atol=1e-5)
+
+    # auto kernel selection mirrors the live server default: bf16+Pallas
+    # only on TPU backends, exact fp32 elsewhere (the bf16 kernels do not
+    # lower on CPU — same constraint as RetrievalService itself)
+    auto = load_retriever(path)
+    want = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    assert auto._gf.dtype == want
+
+    # a fused-rank artifact from an older export must refuse loudly
+    meta_old = {k: v for k, v in meta.items() if k != "rank_stage"}
+    old = str(tmp_path / "old.crtpu")
+    save_artifact(old, blob, meta_old, aux=aux)
+    with pytest.raises(ValueError, match="re-export"):
+        load_retriever(old)
+
+
 def test_retriever_int8_roundtrip(tmp_path):
     """Retriever artifact with the int8 PTQ embed stage baked in: results
     must match the live int8 RetrievalService (same qfn), proving the
