@@ -112,6 +112,13 @@ def main():
         "--batch_window_ms", type=float, default=4.0,
         help="dynamic-batching window for the concurrent phase",
     )
+    p.add_argument(
+        "--rerank_window", type=int, default=200,
+        help="also measure a server whose service re-ranks each query's "
+             "top-N window with k-reciprocal encoding (serve.py "
+             "--rerank_window); reports the added latency vs the plain "
+             "ranking path (0 skips the phase)",
+    )
     args = p.parse_args()
 
     cfg = get_default_cfg()
@@ -168,6 +175,44 @@ def main():
         "http_p50_ms": round(http * 1e3, 3),
         "http_overhead_ms": round((http - direct) * 1e3, 3),
     }
+
+    if args.rerank_window > 0:
+        # re-ranked serving (serve.py --rerank_window): the SAME query
+        # program plus the windowed k-reciprocal re-rank of each query's
+        # top-r candidates — the paired difference vs the plain server
+        # is what accuracy-boosted responses cost per request
+        svc_rr = RetrievalService(
+            cfg, emb, paths, k=args.k, normalize=True,
+            use_bf16_kernel=not args.fp32_exact,
+            model_bundle=(model, params, stats),
+            rerank_window=args.rerank_window,
+        )
+        server_rr = RetrievalHTTPServer(svc_rr, port=0).start_background()
+        url_rr = f"http://127.0.0.1:{server_rr.port}/search"
+
+        def http_rr():
+            req = urllib.request.Request(
+                url_rr, data=payload,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                assert r.status == 200
+                r.read()
+
+        def direct_rr():
+            svc_rr.query_bytes(blobs)
+
+        direct_rr()  # compile + first-dispatch
+        http_rr()
+        d_rr = _p50(direct_rr, args.reps)
+        h_rr = _p50(http_rr, args.reps)
+        server_rr.shutdown()
+        out.update({
+            "rerank_window": args.rerank_window,
+            "rerank_direct_p50_ms": round(d_rr * 1e3, 3),
+            "rerank_http_p50_ms": round(h_rr * 1e3, 3),
+            "rerank_added_ms": round((d_rr - direct) * 1e3, 3),
+        })
 
     if args.concurrency > 0:
         # concurrent clients against a dynamically-batching server: the

@@ -432,11 +432,23 @@ class LoadedRetriever:
     auto-selects bf16 + Pallas on TPU backends and exact fp32 XLA
     elsewhere, mirroring the live server's default; pass ``False`` to
     force exact fp32 selection (the ``--fp32_exact`` serving flag).
+
+    ``rerank_window=r`` (r > 0): re-rank each query's top-r window with
+    k-reciprocal encoding inside the rank stage (the live
+    ``service.reranked_query`` program — the same one
+    ``RetrievalService(rerank_window=r)`` dispatches), so artifact
+    serving matches the ``get_similar --rerank`` windowed CLI output on
+    the same inputs. A load-time choice, not an artifact property:
+    ranking has no weights.
     """
 
     def __init__(self, exported, meta: dict, aux: bytes, *,
                  use_bf16_kernel: Optional[bool] = None,
-                 use_pallas: bool = True):
+                 use_pallas: bool = True,
+                 rerank_window: int = 0,
+                 rerank_k1: int = 20,
+                 rerank_k2: int = 6,
+                 rerank_lambda: float = 0.3):
         import io
         from functools import partial
 
@@ -444,7 +456,7 @@ class LoadedRetriever:
         import jax.numpy as jnp
 
         from ..ops.retrieval import _G_TILE
-        from .service import _pad_gallery, ranked_query
+        from .service import _pad_gallery, ranked_query, reranked_query
 
         if meta.get("rank_stage") != "live":
             raise ValueError(
@@ -467,9 +479,21 @@ class LoadedRetriever:
         self._gf32 = jax.device_put(jnp.asarray(gallery, jnp.float32))
         self._gn = jax.device_put(jnp.asarray(gn, jnp.float32)[None, :])
         self._call = jax.jit(exported.call)
-        self._rank = jax.jit(
-            partial(ranked_query, k=self.k, use_pallas=use_pallas)
+        g = int(len(self.paths))
+        self.rerank_window = (
+            min(max(int(rerank_window), self.k), g)
+            if rerank_window and g else 0
         )
+        if self.rerank_window:
+            self._rank = jax.jit(partial(
+                reranked_query, k=self.k, r=self.rerank_window,
+                k1=int(rerank_k1), k2=int(rerank_k2),
+                lam=float(rerank_lambda), use_pallas=use_pallas,
+            ))
+        else:
+            self._rank = jax.jit(
+                partial(ranked_query, k=self.k, use_pallas=use_pallas)
+            )
         self._shapes: set = set()
 
     @property
@@ -545,7 +569,11 @@ class LoadedRetriever:
 
 
 def load_retriever(path: str, *, use_bf16_kernel: Optional[bool] = None,
-                   use_pallas: bool = True) -> LoadedRetriever:
+                   use_pallas: bool = True,
+                   rerank_window: int = 0,
+                   rerank_k1: int = 20,
+                   rerank_k2: int = 6,
+                   rerank_lambda: float = 0.3) -> LoadedRetriever:
     from jax import export as jexport
 
     blob, meta, aux = _read_artifact_sections(path)
@@ -558,6 +586,8 @@ def load_retriever(path: str, *, use_bf16_kernel: Optional[bool] = None,
     return LoadedRetriever(
         jexport.deserialize(bytearray(blob)), meta, aux,
         use_bf16_kernel=use_bf16_kernel, use_pallas=use_pallas,
+        rerank_window=rerank_window, rerank_k1=rerank_k1,
+        rerank_k2=rerank_k2, rerank_lambda=rerank_lambda,
     )
 
 

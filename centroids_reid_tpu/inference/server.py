@@ -10,8 +10,13 @@ batch (inference/service.py).
 Endpoints (all JSON):
 
   GET  /healthz
-      -> {"status": "ok", "gallery_size": N, "k": K, "ingest": "rgb|yuv420",
-          "model": cfg.MODEL.NAME}
+      -> {"status": "ok|degraded", "gallery_size": N, "k": K,
+          "ingest": "rgb|yuv420", "model": cfg.MODEL.NAME,
+          "rerank_window": r (0 = off),
+          "in_dispatch_s": age of the oldest in-flight device dispatch,
+          "dispatch_timeout_s": T, "stuck": count of 503s served, ...}
+      "degraded" = a device dispatch has been in flight longer than the
+      timeout (a wedged tunnel/queue) — new work is timing out with 503.
   POST /search   body {"images_b64": ["<base64 jpeg/png>", ...],
                        "k": optional int (<= service k)}
       -> {"results": [{"paths": [...], "indices": [...],
@@ -27,6 +32,13 @@ batches at once (and the batcher queue holds at most ``max_queue``
 entries); past either bound requests are shed with HTTP 429 +
 Retry-After, so a burst cannot grow host memory or queueing delay
 without limit.
+Liveness bound: a request waits at most ``dispatch_timeout_s`` for the
+device (the batcher future / the dispatch lock) — a wedged dispatch (a
+tunnel stall; this environment demonstrates they happen) answers 503 +
+Retry-After instead of blocking every in-flight handler forever, and
+/healthz flips to "degraded" with the stall age while it lasts. The
+wedged thread itself cannot be interrupted (it is inside the runtime),
+but the server stays observable and every OTHER request stays bounded.
 Gallery mutation is intentionally absent: the gallery is a device-
 resident immutable index (rebuild + swap the service to update, the
 same lifecycle as the reference's create_embeddings artifacts).
@@ -48,7 +60,9 @@ import base64
 import binascii
 import json
 import threading
+import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -61,6 +75,14 @@ class Overloaded(RuntimeError):
     mapped to HTTP 429 with a Retry-After, never an unbounded wait."""
 
 
+class DispatchStuck(RuntimeError):
+    """Liveness signal: the device dispatch did not complete (or could
+    not start) within ``dispatch_timeout_s`` — mapped to HTTP 503 with a
+    Retry-After. The wedged dispatch thread itself cannot be interrupted
+    (it is blocked inside the runtime/tunnel), but no OTHER request waits
+    on it past the deadline."""
+
+
 def _bucket_rows(n: int) -> int:
     """Next power of two >= n: the dispatch shape a coalesced batch pads
     to, capping the compiled-program set at log2(max_batch) sizes."""
@@ -68,6 +90,64 @@ def _bucket_rows(n: int) -> int:
     while b < n:
         b <<= 1
     return b
+
+
+class _DispatchClock:
+    """Start-time registry for in-flight device dispatches, so /healthz
+    can surface a wedged one: ``oldest_age_s()`` is how long the
+    longest-running dispatch has been in flight (0.0 when idle). Thread
+    safe — the direct path and the batcher worker dispatch concurrently."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._active: dict = {}
+        self._next = 0
+
+    def begin(self) -> int:
+        with self._lock:
+            self._next += 1
+            tok = self._next
+            self._active[tok] = time.monotonic()
+        return tok
+
+    def end(self, tok: int) -> None:
+        with self._lock:
+            self._active.pop(tok, None)
+
+    def oldest_age_s(self) -> float:
+        with self._lock:
+            if not self._active:
+                return 0.0
+            return time.monotonic() - min(self._active.values())
+
+
+def _dispatch_sliced(svc, rows_arr: np.ndarray, max_batch: int,
+                     clock: "_DispatchClock" = None):
+    """Dispatch ``rows_arr`` in at most ``max_batch``-row slices, each
+    zero-padded up to its power-of-two bucket (pad rows trimmed on the
+    way out) — every shape this produces is one ``warmup_buckets``
+    pre-compiled, on the batcher AND the direct path. Shared by both so
+    an oversize request never dispatches a never-warmed shape."""
+    out = []
+    for s in range(0, rows_arr.shape[0], max_batch):
+        part = rows_arr[s:s + max_batch]
+        n = part.shape[0]
+        pad = _bucket_rows(n) - n
+        if pad:
+            part = np.concatenate([
+                part,
+                np.zeros((pad, *part.shape[1:]), part.dtype),
+            ])
+        tok = clock.begin() if clock is not None else None
+        try:
+            d, idx, paths = svc.query_arrays(part)
+        finally:
+            if clock is not None:
+                clock.end(tok)
+        out.append((d[:n], idx[:n], paths[:n]))
+    if len(out) == 1:
+        return out[0]
+    return tuple(np.concatenate([p[i] for p in out]) for i in range(3))
 
 
 class _DynamicBatcher:
@@ -112,16 +192,22 @@ class _DynamicBatcher:
     """
 
     def __init__(self, window_ms: float = 2.0, max_batch: int = 256,
-                 max_queue: int = 64):
+                 max_queue: int = 64, clock: _DispatchClock = None):
         import queue
 
         self.window_s = float(window_ms) / 1e3
         self.max_batch = int(max_batch)
+        self._clock = clock
         self._q: "queue.Queue" = queue.Queue(maxsize=int(max_queue))
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def submit(self, imgs: np.ndarray, service):
+    def submit(self, imgs: np.ndarray, service, timeout: float = None):
+        """``timeout`` (seconds, None = wait forever): liveness bound on
+        the coalesced dispatch. On expiry the entry is cancelled — if it
+        is still queued the worker skips it entirely (no wasted device
+        work); if its batch is already in flight the eventual result is
+        dropped — and ``DispatchStuck`` propagates to the caller."""
         import queue
 
         fut: Future = Future()
@@ -131,7 +217,13 @@ class _DynamicBatcher:
             raise Overloaded(
                 f"batch queue full ({self._q.maxsize} requests waiting)"
             )
-        return fut.result()
+        try:
+            return fut.result(timeout)
+        except FuturesTimeout:
+            fut.cancel()
+            raise DispatchStuck(
+                f"coalesced dispatch did not complete within {timeout:g}s"
+            ) from None
 
     def stop(self):
         """Unblock and end the worker (server shutdown); queued requests
@@ -140,17 +232,10 @@ class _DynamicBatcher:
         self._thread.join(10)
 
     def _dispatch(self, svc, rows_arr: np.ndarray):
-        """One warmed-shape dispatch: pad to the power-of-two bucket,
-        query, trim the pad rows back off."""
-        n = rows_arr.shape[0]
-        pad = _bucket_rows(n) - n
-        if pad:
-            rows_arr = np.concatenate([
-                rows_arr,
-                np.zeros((pad, *rows_arr.shape[1:]), rows_arr.dtype),
-            ])
-        d, idx, paths = svc.query_arrays(rows_arr)
-        return d[:n], idx[:n], paths[:n]
+        """Warmed-shape dispatch: ``max_batch``-row slices (a single
+        request may exceed max_batch; coalescing never does), each padded
+        to its power-of-two bucket and trimmed back."""
+        return _dispatch_sliced(svc, rows_arr, self.max_batch, self._clock)
 
     def _worker(self):
         import queue
@@ -190,25 +275,21 @@ class _DynamicBatcher:
                     break
                 staged.append((nxt[0], nxt[2]))
                 rows += nxt[0].shape[0]
+            # drop entries whose submitter already timed out and
+            # cancelled (set_running_or_notify_cancel marks the rest
+            # running so a late cancel can no longer race set_result)
+            staged = [
+                (s_imgs, s_fut) for s_imgs, s_fut in staged
+                if s_fut.set_running_or_notify_cancel()
+            ]
+            if not staged:
+                continue
             try:
                 batch = (
                     staged[0][0] if len(staged) == 1
                     else np.concatenate([s[0] for s in staged])
                 )
-                n_real = batch.shape[0]
-                if n_real > self.max_batch:
-                    # a single request may exceed max_batch (coalescing
-                    # never does): dispatch it in max_batch-row slices so
-                    # every shape stays a warmed bucket
-                    parts = [
-                        self._dispatch(svc, batch[s:s + self.max_batch])
-                        for s in range(0, n_real, self.max_batch)
-                    ]
-                    d = np.concatenate([p[0] for p in parts])
-                    idx = np.concatenate([p[1] for p in parts])
-                    paths = np.concatenate([p[2] for p in parts])
-                else:
-                    d, idx, paths = self._dispatch(svc, batch)
+                d, idx, paths = self._dispatch(svc, batch)
                 off = 0
                 for s_imgs, s_fut in staged:
                     n = s_imgs.shape[0]
@@ -233,7 +314,8 @@ class RetrievalHTTPServer:
 
     def __init__(self, service, host: str = "127.0.0.1", port: int = 8000,
                  batch_window_ms: float = 0.0, max_batch: int = 256,
-                 max_pending: int = 32, max_queue: int = 64):
+                 max_pending: int = 32, max_queue: int = 64,
+                 dispatch_timeout_s: float = 30.0):
         """``max_pending`` bounds concurrent /search requests holding
         decoded batches (the real host-memory cost: ThreadingHTTPServer
         spawns a thread per connection, and without a bound a burst pins
@@ -242,20 +324,30 @@ class RetrievalHTTPServer:
         HTTP 429 + Retry-After — bounded memory, bounded queueing delay.
         ``max_queue`` additionally bounds the dynamic batcher's queue;
         since every queued entry also holds a pending slot, it only
-        bites when set below ``max_pending``."""
+        bites when set below ``max_pending``.
+        ``dispatch_timeout_s`` bounds how long any request waits on the
+        device (the dispatch lock / the batcher future): past it the
+        request answers 503 + Retry-After, the ``stuck`` counter
+        increments, and /healthz reports "degraded" while the wedged
+        dispatch persists (0 disables the bound)."""
         self.service = service
         self._dispatch_lock = threading.Lock()
         self.max_pending = int(max_pending)
+        self.max_batch = int(max_batch)
+        self.dispatch_timeout_s = float(dispatch_timeout_s)
         self._pending = 0
         self._pending_lock = threading.Lock()
+        self._clock = _DispatchClock()
         self._batcher = (
-            _DynamicBatcher(batch_window_ms, max_batch, max_queue)
+            _DynamicBatcher(batch_window_ms, max_batch, max_queue,
+                            clock=self._clock)
             if batch_window_ms > 0 else None
         )
         self._thread = None
         self._serving = False
         self._stats_lock = threading.Lock()
-        self._stats = {"requests": 0, "images": 0, "errors": 0, "shed": 0}
+        self._stats = {"requests": 0, "images": 0, "errors": 0, "shed": 0,
+                       "stuck": 0}
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
@@ -276,12 +368,13 @@ class RetrievalHTTPServer:
 
     # -- request work (called from handler threads) -----------------------
     def count(self, images: int = 0, error: bool = False,
-              shed: bool = False):
+              shed: bool = False, stuck: bool = False):
         with self._stats_lock:
             self._stats["requests"] += 1
             self._stats["images"] += images
             self._stats["errors"] += int(error)
             self._stats["shed"] += int(shed)
+            self._stats["stuck"] += int(stuck)
 
     def health(self) -> dict:
         svc = self.service
@@ -289,15 +382,22 @@ class RetrievalHTTPServer:
             stats = dict(self._stats)
         with self._pending_lock:
             pending = self._pending
+        # a dispatch in flight longer than the timeout = the device path
+        # is wedged; report it rather than a hollow "ok"
+        age = self._clock.oldest_age_s()
+        degraded = 0 < self.dispatch_timeout_s < age
         return {
-            "status": "ok",
+            "status": "degraded" if degraded else "ok",
             "gallery_size": int(len(svc.paths)),
             "k": int(svc.k),
             "ingest": svc.ingest_format,
             "model": svc.model_name,
+            "rerank_window": int(getattr(svc, "rerank_window", 0)),
             "batching": self._batcher is not None,
             "pending": pending,
             "max_pending": self.max_pending,
+            "in_dispatch_s": round(age, 3),
+            "dispatch_timeout_s": self.dispatch_timeout_s,
             **stats,
         }
 
@@ -336,24 +436,30 @@ class RetrievalHTTPServer:
                 imgs = svc.ingest_bytes(blobs)
             except Exception as e:
                 raise BadRequest(f"undecodable image: {e}")
+            timeout = self.dispatch_timeout_s or None
             if self._batcher is not None:
                 # dynamic batching: this request's rows join the open
                 # window and come back from a coalesced dispatch on the
-                # snapshot service
-                d, idx, paths = self._batcher.submit(imgs, svc)
+                # snapshot service (bounded by the dispatch timeout)
+                d, idx, paths = self._batcher.submit(imgs, svc,
+                                                     timeout=timeout)
             else:
-                # direct path buckets too: without it every distinct
-                # request size would compile its own program
-                n = imgs.shape[0]
-                pad = _bucket_rows(n) - n
-                if pad:
-                    imgs = np.concatenate([
-                        imgs,
-                        np.zeros((pad, *imgs.shape[1:]), imgs.dtype),
-                    ])
-                with self._dispatch_lock:
-                    d, idx, paths = svc.query_arrays(imgs)
-                d, idx, paths = d[:n], idx[:n], paths[:n]
+                # direct path buckets too (and slices oversize requests
+                # at max_batch): without it every distinct request size
+                # would compile its own program, and a request past the
+                # warmed range would dispatch a never-compiled shape
+                if not self._dispatch_lock.acquire(
+                        timeout=-1 if timeout is None else timeout):
+                    raise DispatchStuck(
+                        f"device dispatch held > {timeout:g}s by an "
+                        "earlier request"
+                    )
+                try:
+                    d, idx, paths = _dispatch_sliced(
+                        svc, imgs, self.max_batch, self._clock
+                    )
+                finally:
+                    self._dispatch_lock.release()
         finally:
             self._release_slot()
         return {
@@ -538,6 +644,14 @@ def _make_handler(server: RetrievalHTTPServer):
                 return self._reply(
                     429, {"error": f"overloaded: {e}"}, retry_after=1
                 )
+            except DispatchStuck as e:
+                # liveness bound: the device path is wedged — 503 now
+                # beats a client-side timeout later; /healthz reports
+                # "degraded" while the stall persists
+                server.count(error=True, stuck=True)
+                return self._reply(
+                    503, {"error": f"dispatch stalled: {e}"}, retry_after=5
+                )
             except BadRequest as e:
                 server.count(error=True)
                 return self._reply(400, {"error": str(e)})
@@ -618,24 +732,59 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
         help="pre-compile the power-of-two dispatch shapes up to N rows "
              "before serving (no request pays an XLA compile); 0 = off",
     )
+    parser.add_argument(
+        "--dispatch_timeout", type=float, default=30.0,
+        help="liveness bound (seconds) on any request's wait for the "
+             "device; past it the request answers 503 and /healthz "
+             "reports degraded (0 = unbounded)",
+    )
+    parser.add_argument(
+        "--rerank_window", type=int, default=0,
+        help="re-rank each query's top-N candidate window with "
+             "k-reciprocal encoding inside the query program "
+             "(ops/rerank.py); responses then equal the get_similar "
+             "--rerank windowed CLI output. 0 = off (or TPU.RERANK + "
+             "TPU.RERANK_WINDOW via config overrides on the "
+             "--gallery_data path)",
+    )
+    parser.add_argument(
+        "--rerank_k1", type=int, default=None,
+        help="k-reciprocal neighbourhood size (default: TPU.RERANK_K1)",
+    )
+    parser.add_argument(
+        "--rerank_k2", type=int, default=None,
+        help="local query-expansion size (default: TPU.RERANK_K2)",
+    )
+    parser.add_argument(
+        "--rerank_lambda", type=float, default=None,
+        help="original-distance weight (default: TPU.RERANK_LAMBDA)",
+    )
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args(argv)
 
     if args.artifact:
         # artifact serving: everything (program, weights, gallery, paths,
         # ingest config) rides in the file — LoadedRetriever duck-types
-        # the service surface the server needs
+        # the service surface the server needs. Re-ranking is a
+        # load-time choice (no config on this path: the canonical
+        # k1/k2/lambda defaults apply unless the flags say otherwise)
         from .export import load_retriever
 
         retriever = load_retriever(
             args.artifact,
             use_bf16_kernel=False if args.fp32_exact else None,
+            rerank_window=args.rerank_window,
+            rerank_k1=20 if args.rerank_k1 is None else args.rerank_k1,
+            rerank_k2=6 if args.rerank_k2 is None else args.rerank_k2,
+            rerank_lambda=(0.3 if args.rerank_lambda is None
+                           else args.rerank_lambda),
         )
         retriever.warmup()  # first request must not pay the compile
         return RetrievalHTTPServer(
             retriever, args.host, args.port,
             batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
             max_pending=args.max_pending, max_queue=args.max_queue,
+            dispatch_timeout_s=args.dispatch_timeout,
         )
     if not args.gallery_data:
         raise SystemExit("one of --gallery_data or --artifact is required")
@@ -685,6 +834,11 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
                 f"machine that sees the indexed files"
             )
 
+    # --rerank_window wins; otherwise the config drives it the same way
+    # the get_similar CLI's windowed path is enabled (inference/api.py)
+    rr = args.rerank_window
+    if not rr and cfg.TPU.RERANK and cfg.TPU.RERANK_WINDOW > 0:
+        rr = int(cfg.TPU.RERANK_WINDOW)
     service = RetrievalService(
         cfg, emb, paths, k=args.topk,
         normalize=args.normalize_features,
@@ -692,11 +846,19 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
         model_bundle=bundle,
         mesh=mesh,
         int8_qfn=qfn,
+        rerank_window=rr,
+        rerank_k1=(cfg.TPU.RERANK_K1 if args.rerank_k1 is None
+                   else args.rerank_k1),
+        rerank_k2=(cfg.TPU.RERANK_K2 if args.rerank_k2 is None
+                   else args.rerank_k2),
+        rerank_lambda=(cfg.TPU.RERANK_LAMBDA if args.rerank_lambda is None
+                       else args.rerank_lambda),
     )
     server = RetrievalHTTPServer(
         service, args.host, args.port,
         batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
         max_pending=args.max_pending, max_queue=args.max_queue,
+        dispatch_timeout_s=args.dispatch_timeout,
     )
     if args.warmup_buckets:
         server.warmup_buckets(args.warmup_buckets)

@@ -64,6 +64,41 @@ def ranked_query(e, gf, gf32, gn, k: int, use_pallas: bool = True):
     )
 
 
+def reranked_query(e, gf, gf32, gn, k: int, r: int, k1: int, k2: int,
+                   lam: float, use_pallas: bool = True):
+    """``ranked_query`` + windowed k-reciprocal re-ranking of each query's
+    top-``r`` candidate window, in the same single device program:
+    kernel-dtype selection narrows to ``r`` candidates, then each query is
+    re-ranked against its own candidate set (ops/rerank.py::_windowed —
+    exactly the math of ``rerank_topk`` over the resident gallery).
+    Returns ``(scores [B, k], indices [B, k])`` ascending by the composite
+    ``lam * dn + (1 - lam) * jaccard`` re-rank score — the same values the
+    ``get_similar --rerank`` windowed CLI path saves (inference/api.py),
+    so a served response equals the offline result on the same inputs.
+
+    Used by ``RetrievalService(rerank_window=r)``'s jitted ``run`` AND as
+    ``LoadedRetriever``'s rank stage when the artifact is served with
+    ``--rerank_window`` (inference/export.py) — one program, both
+    serving surfaces."""
+    from ..ops.rerank import _WIN_CHUNK, _windowed
+
+    d0, idx0 = ranked_query(e, gf, gf32, gn, r, use_pallas=use_pallas)
+    # same neighbourhood clamps as ops.rerank.rerank_topk: the per-set
+    # rank matrix has r+1 rows, k1+1 columns
+    k1c = max(1, min(int(k1), r))
+    k2c = max(1, min(int(k2), k1c + 1))
+    chunk = max(1, min(_WIN_CHUNK, e.shape[0]))
+    vals = _windowed(
+        e.astype(jnp.float32), gf32, idx0, float(lam),
+        k1c + 1, k1c // 2 + 1, k2c, chunk, "euclidean",
+    )
+    order = jnp.argsort(vals, axis=1)[:, :k]
+    return (
+        jnp.take_along_axis(vals, order, axis=1),
+        jnp.take_along_axis(idx0, order, axis=1),
+    )
+
+
 def _pad_gallery(gf: np.ndarray, unit: int):
     """Pad gallery rows to a multiple of ``unit``; returns (gf, gn) where
     padded rows are zero vectors with +inf squared norm so they can never
@@ -125,6 +160,10 @@ class RetrievalService:
         exact_rescore: bool = True,
         int8_qfn=None,
         use_pallas: bool = True,
+        rerank_window: int = 0,
+        rerank_k1: int = 20,
+        rerank_k2: int = 6,
+        rerank_lambda: float = 0.3,
     ):
         """``int8_calib_imgs``: uint8 [N,H,W,3] sample of the query domain;
         when given, the embed stage runs the int8 PTQ path
@@ -136,11 +175,28 @@ class RetrievalService:
         ``use_pallas=False`` pins the pure-XLA selection path (no
         backend-gated Pallas kernels anywhere in the query program) —
         the configuration ``export.export_retriever`` serializes for
-        cross-platform artifacts."""
+        cross-platform artifacts.
+        ``rerank_window=r`` (r > 0) re-ranks each query's top-r candidate
+        window with k-reciprocal encoding INSIDE the same query program
+        (``reranked_query``): returned distances become the composite
+        re-rank scores and equal the ``get_similar --rerank`` windowed
+        CLI output on the same inputs (inference/api.py). r is clamped
+        to [k, gallery]; k1/k2/lambda default to the TPU.RERANK_*
+        defaults. On a sharded gallery the candidate rows are assembled
+        by a cross-shard psum gather (parallel/retrieval.py), so the
+        program stays one dispatch there too."""
         self.cfg = cfg
         self.k = int(min(k, len(gallery_paths)))
         self.normalize = normalize
         self.max_query_batch = int(max_query_batch)
+        g_total = int(len(gallery_paths))
+        self.rerank_window = (
+            min(max(int(rerank_window), self.k), g_total)
+            if rerank_window and g_total else 0
+        )
+        self._rerank_params = (
+            int(rerank_k1), int(rerank_k2), float(rerank_lambda)
+        )
         self.paths = np.asarray(gallery_paths)
         if model_bundle is None:
             model_bundle = load_inference_model(cfg)
@@ -199,7 +255,8 @@ class RetrievalService:
         # unconditionally. Floor 128: the Pallas query tile — at the
         # floor a 3M-row gallery costs ~1.5 GB of scores, the irreducible
         # minimum for one dispatch.
-        if self.mesh is not None or not (use_bf16_kernel and self.k <= 32):
+        k_sel = self.rerank_window or self.k  # selection depth per query
+        if self.mesh is not None or not (use_bf16_kernel and k_sel <= 32):
             width = self._shard_rows if self.mesh is not None else gf.shape[0]
             # max(width, 1): an empty gallery (index built before any data
             # arrived) must still construct — its score matrix is 0-wide
@@ -208,6 +265,16 @@ class RetrievalService:
                 (_SCORE_BUDGET_BYTES // (max(width, 1) * 4)) // 128 * 128,
             )
             self.max_query_batch = min(self.max_query_batch, cap)
+        if self.rerank_window and self.mesh is not None:
+            # the sharded re-rank path materialises the [B, r, D] fp32
+            # candidate-row gather (replicated on every chip after the
+            # psum) — clamp the query chunk against the same score budget
+            cap_rr = max(
+                8,
+                _SCORE_BUDGET_BYTES
+                // (self.rerank_window * max(gf.shape[1], 1) * 4),
+            )
+            self.max_query_batch = min(self.max_query_batch, cap_rr)
 
         mean = tuple(cfg.INPUT.PIXEL_MEAN)
         std = tuple(cfg.INPUT.PIXEL_STD)
@@ -258,9 +325,15 @@ class RetrievalService:
                 )
             return e
 
+        rr = self.rerank_window
+        rk1, rk2, rlam = self._rerank_params
+
         @jax.jit
         def run(params, batch_stats, gf, gf32, gn, imgs_u8):
             e = embed_q(params, batch_stats, imgs_u8)
+            if rr:
+                return reranked_query(e, gf, gf32, gn, k_eff, rr,
+                                      rk1, rk2, rlam, use_pallas=use_pallas)
             return ranked_query(e, gf, gf32, gn, k_eff,
                                 use_pallas=use_pallas)
 
@@ -281,10 +354,15 @@ class RetrievalService:
         from jax.sharding import PartitionSpec as P
 
         from ..parallel.mesh import GALLERY_AXIS, shard_map
-        from ..parallel.retrieval import shard_select_merge
+        from ..parallel.retrieval import (
+            make_sharded_row_gather,
+            shard_select_merge,
+        )
 
         mesh = self.mesh
-        k_eff = self.k
+        # with re-ranking the selection stage widens to the candidate
+        # window; the final k columns are taken after the re-rank sort
+        k_eff = self.rerank_window or self.k
         shard_rows = self._shard_rows
 
         def local(e_k, e32, gf_l, gf32_l, gn_l):
@@ -313,6 +391,14 @@ class RetrievalService:
             out_specs=(P(), P()),
         )
 
+        rr = self.rerank_window
+        if rr:
+            gather_rows = make_sharded_row_gather(mesh, shard_rows)
+            rk1, rk2, rlam = self._rerank_params
+            k1c = max(1, min(rk1, rr))
+            k2c = max(1, min(rk2, k1c + 1))
+            k_final = self.k
+
         @jax.jit
         def run_sharded(params, batch_stats, gf, gf32, gn, imgs_u8):
             e = embed_q(params, batch_stats, imgs_u8)
@@ -320,7 +406,26 @@ class RetrievalService:
             # shard_select_merge's final lax.top_k(-allv) already returns
             # the merged candidates ascending by exact distance — no
             # re-sort needed
-            return ranked(e.astype(kernel_dtype), e32, gf, gf32, gn)
+            d0, idx0 = ranked(e.astype(kernel_dtype), e32, gf, gf32, gn)
+            if not rr:
+                return d0, idx0
+            # windowed k-reciprocal re-rank of the merged top-r window:
+            # candidate FEATURE rows live on whichever shard holds them —
+            # one psum gather assembles them, then the replicated per-set
+            # core re-ranks (identical math to the single-chip
+            # reranked_query / the get_similar --rerank CLI path)
+            from ..ops.rerank import _WIN_CHUNK, _windowed_feats
+
+            cand = gather_rows(idx0, gf32)
+            vals = _windowed_feats(
+                e32, cand, rlam, k1c + 1, k1c // 2 + 1, k2c,
+                max(1, min(_WIN_CHUNK, e.shape[0])), "euclidean",
+            )
+            order = jnp.argsort(vals, axis=1)[:, :k_final]
+            return (
+                jnp.take_along_axis(vals, order, axis=1),
+                jnp.take_along_axis(idx0, order, axis=1),
+            )
 
         return run_sharded
 

@@ -319,6 +319,31 @@ def _windowed(qf, gf, idx, lam, kk: int, hk: int, k2: int, chunk: int,
     return out.reshape(-1, out.shape[-1])[:q]
 
 
+@partial(jax.jit,
+         static_argnames=("kk", "hk", "k2", "chunk", "dist"))
+def _windowed_feats(qf, cand, lam, kk: int, hk: int, k2: int, chunk: int,
+                    dist: str):
+    """``_windowed`` over PRE-GATHERED candidate rows ``cand [Q, R, D]``
+    instead of a resident ``(gf, idx)`` pair — the form a gallery-sharded
+    serving path needs (its candidate rows arrive from a cross-shard psum
+    gather, parallel/retrieval.py::make_sharded_row_gather, so there is no
+    replicated ``gf`` to index). Identical math and output contract."""
+    q = qf.shape[0]
+    rows_idx = _pad_idx(q, chunk).reshape(-1, chunk)
+
+    def body(_, rows):
+        f = jnp.concatenate(
+            [qf[rows][:, None, :], cand[rows]], axis=1
+        )                                                  # [C, n, D]
+        d = _local_dist(f, dist)
+        return None, jax.vmap(
+            lambda dd: _core_one(dd, kk, hk, k2, lam)
+        )(d)
+
+    _, out = jax.lax.scan(body, None, rows_idx)
+    return out.reshape(-1, out.shape[-1])[:q]
+
+
 def rerank_topk(
     qf,
     gf,

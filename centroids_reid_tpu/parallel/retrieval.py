@@ -53,6 +53,37 @@ def shard_select_merge(qf_l, gf_l, gn_l, k_eff: int, shard_rows: int,
     return -nv, jnp.take_along_axis(alli, sel, axis=1)
 
 
+def make_sharded_row_gather(mesh: Mesh, shard_rows: int):
+    """Cross-shard row gather: replicated ``[Q, R]`` GLOBAL row indices +
+    gallery rows sharded on the mesh's gallery axis -> replicated
+    ``[Q, R, D]`` fp32 rows.
+
+    Each shard takes the indices that land in its local range (others
+    contribute zero rows) and one ``psum`` over the gallery axis
+    assembles the full gather — the TPU-native way to materialise
+    arbitrary rows of a sharded matrix (the rows themselves must cross
+    ICI; Q*R*D fp32 is the irreducible traffic). Used by the serving
+    re-rank path (inference/service.py): the windowed k-reciprocal core
+    needs its candidates' FEATURE rows, which on a sharded gallery live
+    on whichever chip holds them.
+    """
+
+    def local(idx, gf_l):
+        off = jax.lax.axis_index(GALLERY_AXIS) * shard_rows
+        li = idx - off
+        ok = (li >= 0) & (li < shard_rows)
+        rows = jnp.take(gf_l, jnp.clip(li, 0, shard_rows - 1), axis=0)
+        rows = jnp.where(ok[..., None], rows.astype(jnp.float32), 0.0)
+        return jax.lax.psum(rows, GALLERY_AXIS)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(GALLERY_AXIS)),
+        out_specs=P(),
+    )
+
+
 @functools.lru_cache(maxsize=64)
 def _sharded_topk_program(mesh: Mesh, dist: str, g: int, shard_rows: int,
                           k_eff: int, pad: int):

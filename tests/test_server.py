@@ -953,3 +953,238 @@ def test_batcher_never_dispatches_above_max_batch():
     finally:
         svc.hold.set()
         b.stop()
+
+
+# ---- round 5: re-ranked serving, liveness bound, direct-path slicing ----
+
+
+@pytest.fixture(params=[0.0, 300.0], ids=["direct", "batched"])
+def served_rerank(tmp_path, request):
+    """A running server whose service re-ranks each query's top-8 window
+    (RetrievalService(rerank_window=8)), plus everything needed to run
+    the get_similar --rerank windowed CLI path on the same inputs."""
+    rng = np.random.RandomState(0)
+    gallery = tmp_path / "gallery"
+    query = tmp_path / "query"
+    gallery.mkdir()
+    query.mkdir()
+    arrays = {}
+    for pid in ("prodA", "prodB", "prodC"):
+        for i in range(4):
+            arr = rng.randint(0, 255, (32, 16, 3), np.uint8)
+            name = f"{pid}_{i:02d}.jpg"
+            Image.fromarray(arr).save(gallery / name)
+            arrays[name] = arr
+    # queries are PERTURBED copies, not byte-identical ones: an exact
+    # duplicate vector in the candidate window makes the k-reciprocal
+    # rank tie-breaks order-dependent, and the CLI/serving paths narrow
+    # the window in different candidate orders (legitimate divergence
+    # only on exact ties — which production queries never are)
+    for name in ("prodA_01.jpg", "prodB_02.jpg", "prodC_00.jpg"):
+        noisy = np.clip(
+            arrays[name].astype(np.int64)
+            + rng.randint(-6, 7, arrays[name].shape), 0, 255
+        ).astype(np.uint8)
+        Image.fromarray(noisy).save(query / f"q_{name}")
+
+    cfg = _cfg(tmp_path)
+    model = create_model(cfg, num_classes=4)
+    state, _ = create_train_state(cfg, model, 4, seed=0)
+    mgr = CheckpointManager(str(tmp_path / "logs"))
+    mgr.save_periodic(0, state, cfg)
+    cfg.MODEL.PRETRAIN_PATH = mgr.latest_periodic()
+    cfg.DATASETS.ROOT_DIR = str(gallery)
+    emb, paths = build_embeddings(cfg, images_in_subfolders=False)
+
+    from centroids_reid_tpu.inference import RetrievalService
+    from centroids_reid_tpu.inference.server import RetrievalHTTPServer
+
+    svc = RetrievalService(
+        cfg, emb, paths, k=5, normalize=True, use_bf16_kernel=False,
+        rerank_window=8, rerank_k1=4, rerank_k2=2, rerank_lambda=0.3,
+    )
+    server = RetrievalHTTPServer(
+        svc, port=0, batch_window_ms=request.param
+    ).start_background()
+    try:
+        yield (server, cfg, str(query),
+               f"http://127.0.0.1:{server.port}")
+    finally:
+        server.shutdown()
+
+
+def test_rerank_serving_matches_get_similar_cli(served_rerank, tmp_path):
+    """VERDICT r4 #3: served re-ranked responses (direct AND batched)
+    must equal the get_similar --rerank windowed CLI output
+    (inference/api.py windowed branch) on the same inputs, and /healthz
+    must report the mode."""
+    server, cfg, query, base = served_rerank
+
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+        health = json.loads(r.read())
+    assert health["rerank_window"] == 8
+
+    # the CLI path on the same query images / gallery index
+    from centroids_reid_tpu.inference import find_similar
+
+    cfg2 = _cfg(tmp_path)
+    cfg2.MODEL.PRETRAIN_PATH = cfg.MODEL.PRETRAIN_PATH
+    cfg2.DATASETS.ROOT_DIR = query
+    cfg2.OUTPUT_DIR = str(tmp_path / "cli_out")
+    cfg2.TPU.RERANK = True
+    cfg2.TPU.RERANK_WINDOW = 8
+    cfg2.TPU.RERANK_K1 = 4
+    cfg2.TPU.RERANK_K2 = 2
+    cfg2.TPU.RERANK_LAMBDA = 0.3
+    cli = find_similar(
+        cfg2, gallery_data=cfg.OUTPUT_DIR, images_in_subfolders=False,
+        normalize_features=True, topk=5,
+    )
+
+    qfiles = sorted(os.path.join(query, f) for f in os.listdir(query))
+    blobs = [open(p, "rb").read() for p in qfiles]
+    status, out = _post(base + "/search", {
+        "images_b64": [base64.b64encode(b).decode() for b in blobs],
+    })
+    assert status == 200
+    for qp, res in zip(qfiles, out["results"]):
+        ref = cli[qp]
+        assert res["indices"] == [int(j) for j in ref["indices"]]
+        assert res["paths"] == [str(p) for p in ref["paths"]]
+        np.testing.assert_allclose(
+            res["distances"], ref["distances"], rtol=0, atol=1e-5
+        )
+        # byte-identical gallery copy still retrieves itself first
+        assert os.path.basename(res["paths"][0]) == \
+            os.path.basename(qp)[2:]
+
+
+class _WedgeableService:
+    """Duck-typed service whose dispatch can be wedged (tunnel-stall
+    stand-in) and released; records nothing else."""
+
+    k = 3
+    model_name = "fake"
+    ingest_format = "rgb"
+
+    def __init__(self):
+        import threading as _t
+
+        self.paths = np.array(["a", "b", "c"])
+        self.release = _t.Event()
+        self.wedge = False
+        self.calls = []
+
+    def ingest_bytes(self, blobs):
+        out = np.zeros((len(blobs), 4, 4, 3), np.uint8)
+        for i, b in enumerate(blobs):
+            out[i, 0, 0, 0] = b[0]  # tag rides byte 0 of the payload
+        return out
+
+    def query_arrays(self, imgs):
+        self.calls.append(imgs.shape[0])
+        if self.wedge:
+            assert self.release.wait(30), "test never released the wedge"
+        n = imgs.shape[0]
+        v = imgs[:, 0, 0, 0].astype(np.int64)
+        d = np.tile(v[:, None].astype(np.float64), (1, self.k))
+        idx = np.tile(v[:, None], (1, self.k))
+        paths = np.array([["p"] * self.k] * n, dtype=object)
+        return d, idx, paths
+
+
+@pytest.mark.parametrize("window_ms", [0.0, 300.0],
+                         ids=["direct", "batched"])
+def test_dispatch_timeout_503_degraded_and_recovery(window_ms):
+    """VERDICT r4 #4: a wedged device dispatch must not hang every
+    handler forever — requests time out with 503 + Retry-After inside
+    the deadline, /healthz reports degraded + the stuck counter, and the
+    server recovers once the dispatch unwedges."""
+    import threading
+    import time as _time
+
+    from centroids_reid_tpu.inference.server import RetrievalHTTPServer
+
+    svc = _WedgeableService()
+    server = RetrievalHTTPServer(
+        svc, port=0, batch_window_ms=window_ms,
+        dispatch_timeout_s=0.6,
+    ).start_background()
+    base = f"http://127.0.0.1:{server.port}"
+    body = {"images_b64": [base64.b64encode(b"\x07hello").decode()]}
+    try:
+        svc.wedge = True
+        results = {}
+
+        def post(tag):
+            results[tag] = _post_err(
+                base + "/search", json.dumps(body).encode()
+            )
+
+        ta = threading.Thread(target=post, args=("a",))
+        ta.start()
+        deadline = _time.time() + 10
+        while not svc.calls and _time.time() < deadline:
+            _time.sleep(0.01)
+        assert svc.calls, "first request never reached the device"
+
+        # second request: must 503 within the deadline, not block
+        t0 = _time.time()
+        code_b, err_b = _post_err(
+            base + "/search", json.dumps(body).encode()
+        )
+        elapsed = _time.time() - t0
+        assert code_b == 503, (code_b, err_b)
+        assert "stalled" in err_b["error"]
+        assert elapsed < 5.0, f"503 took {elapsed:.1f}s"
+
+        # the wedged dispatch outlives the timeout -> degraded health
+        _time.sleep(0.7)
+        with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "degraded"
+        assert health["in_dispatch_s"] > 0.6
+        assert health["stuck"] >= 1
+
+        # unwedge: in-flight work drains, new traffic serves again
+        svc.wedge = False
+        svc.release.set()
+        ta.join(30)
+        code_c, out_c = _post_err(
+            base + "/search", json.dumps(body).encode()
+        )
+        assert code_c == 200
+        assert out_c["results"][0]["distances"][0] == 7.0
+        with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["in_dispatch_s"] == 0.0
+    finally:
+        svc.release.set()
+        server.shutdown()
+
+
+def test_direct_path_oversize_request_slices_at_max_batch():
+    """ADVICE r4: a direct-path (no batcher) request larger than
+    max_batch must dispatch in max_batch-row slices padded to warmed
+    buckets — never one never-compiled oversize shape — with results
+    stitched back in order."""
+    from centroids_reid_tpu.inference.server import RetrievalHTTPServer
+
+    svc = _WedgeableService()
+    server = RetrievalHTTPServer(
+        svc, port=0, batch_window_ms=0.0, max_batch=4,
+    ).start_background()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        blobs = [bytes([10 + i]) + b"x" for i in range(10)]
+        status, out = _post(base + "/search", {
+            "images_b64": [base64.b64encode(b).decode() for b in blobs],
+        })
+        assert status == 200
+        # 10 rows over max_batch=4: two full slices + a 2-row bucket
+        assert svc.calls == [4, 4, 2], svc.calls
+        got = [r["distances"][0] for r in out["results"]]
+        assert got == [float(10 + i) for i in range(10)]
+    finally:
+        server.shutdown()
