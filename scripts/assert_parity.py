@@ -143,21 +143,51 @@ def main():
     ok = check(results, expected)
     print("PARITY OK" if ok else "PARITY FAILED")
 
+    report = {"dataset": args.dataset, "fp32": dict(results), "pass": ok}
     if args.int8:
         # deployment-accuracy gate: the SAME double evaluation, embeddings
         # from the int8 serving path (engine/evaluate.py:_maybe_int8_eval_fn)
         cfg_q = cfg.clone()
         cfg_q.TPU.INT8_EVAL = True
         results_q = run_main(cfg_q, "ctl", "assert_parity_int8")
+        # gate the mAP/Top-1 metrics the parity table asserts (for the
+        # real datasets: the paper's headline centroid-mode numbers) —
+        # falling back to ALL mAP/Top-1 rows when the table asserts none.
+        # Rationale: a tiny validation fixture gates what is statistically
+        # meaningful at its query count (one Top-1 flip on a 48-query set
+        # is 2.1% — pure rank-granularity, not quantization error), while
+        # a real dataset's table puts every headline metric under the
+        # bound; anything ungated still prints as info.
+        gated_keys = [
+            m for m in expected if m.endswith("mAP") or m.endswith("Top-1")
+        ] or [
+            m for m in results if m.endswith("mAP") or m.endswith("Top-1")
+        ]
         gated = {
-            m: (v, args.int8_tol) for m, v in results.items()
-            if m.endswith("mAP") or m.endswith("Top-1")
+            m: (results[m], args.int8_tol) for m in gated_keys
+            if m in results
         }
         print(f"\n=== int8 deployment accuracy vs fp32 "
               f"(tol {args.int8_tol}) ===")
         ok_q = check(results_q, gated)
         print("INT8 PARITY OK" if ok_q else "INT8 PARITY FAILED")
         ok = ok and ok_q
+        report.update({
+            "int8": dict(results_q),
+            "int8_tol": args.int8_tol,
+            # shortfall per gated metric (positive = int8 below fp32):
+            # the number the gate actually bounds, so a caller (the soak,
+            # the README table) quotes the measured delta, not "0.000 on
+            # a saturated metric"
+            "int8_shortfall": {
+                m: round(results[m] - results_q[m], 4)
+                for m in gated if m in results_q
+            },
+            "pass": ok,
+        })
+    import json
+
+    print("PARITY_JSON " + json.dumps(report, sort_keys=True))
     return 0 if ok else 1
 
 

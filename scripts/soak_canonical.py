@@ -15,8 +15,11 @@ the way a production run would:
    double test (centroids on/off, /root/reference/utils/misc.py:159-161);
 3. per-epoch wall-time series from both runs (the resume seam and any
    recompile shows up as an outlier);
-4. the accuracy-parity gate dry-run (scripts/assert_parity.py, incl. the
-   --int8 deployment gate) on the resulting best checkpoint.
+4. the accuracy-parity gate dry-run (scripts/assert_parity.py) on the
+   resulting best checkpoint, PLUS the int8 deployment gate at its
+   DEFAULT 1% tolerance on a hard (unsaturated) eval set — per-image
+   colour shifts push fp32 mAP meaningfully below 1.0, so the int8
+   shortfall the gate bounds measures quantization, not a ceiling.
 
 Emits ONE JSON line with the epoch-time stats, metric trajectory and
 gate results. Divergence from the canonical recipe: MODEL.PRETRAINED
@@ -47,6 +50,18 @@ QUERY_PER_PID = 4      # 751*4  = 3,004   (Market: 3,368)
 GALLERY_PER_PID = 21   # 751*21 = 15,771  (Market: 15,913)
 
 
+def _pid_colors():
+    """The soak's pid->colour table: a 3d grid with margin >> noise so 751
+    classes separate; shared by the clean train/eval set AND the hard eval
+    set (same identities, harder images)."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    grid = np.linspace(25, 230, 10).astype(np.int64)
+    colors = np.stack(np.meshgrid(grid, grid, grid), -1).reshape(-1, 3)
+    return colors[rng.permutation(len(colors))[:N_PIDS]]
+
+
 def make_dataset(root: str, hw=(256, 128)) -> None:
     """Market-scale separable synthetic set in market1501 layout (one
     solid colour per pid + noise; camid patterns keep every query
@@ -60,10 +75,7 @@ def make_dataset(root: str, hw=(256, 128)) -> None:
         print(f"dataset already at {base}")
         return
     rng = np.random.RandomState(0)
-    # colours on a 3d grid with margin >> noise so 751 classes separate
-    grid = np.linspace(25, 230, 10).astype(np.int64)
-    colors = np.stack(np.meshgrid(grid, grid, grid), -1).reshape(-1, 3)
-    colors = colors[rng.permutation(len(colors))[:N_PIDS]]
+    colors = _pid_colors()
     for sub in ("bounding_box_train", "query", "bounding_box_test"):
         os.makedirs(os.path.join(base, sub), exist_ok=True)
 
@@ -90,6 +102,76 @@ def make_dataset(root: str, hw=(256, 128)) -> None:
                   flush=True)
     open(done, "w").write("ok")
     print(f"dataset written in {time.time() - t0:.0f}s")
+
+
+HARD_SHIFT = 30        # per-image colour shift amplitude: ~1.3x the
+                       # ~23-unit inter-class grid spacing, targeting a
+                       # mid-range fp32 mAP (see below)
+
+
+def make_hard_eval_dataset(clean_root: str, root: str,
+                           hw=(256, 128)) -> None:
+    """UNSATURATED eval set for the int8 deployment gate (VERDICT r4 #6):
+    same 751 identities, but every query/gallery image's base colour is
+    shifted by a per-IMAGE uniform offset in [-HARD_SHIFT, HARD_SHIFT]^3 —
+    a bit above the ~23-unit inter-class grid spacing, so identities
+    bleed into their colour-space neighbours and the converged model's
+    fp32 mAP lands meaningfully below 1.0. Per-pixel noise alone cannot do
+    this (global pooling averages iid pixel noise to ~0), which is why the
+    clean set saturates. The train split is shared with the clean set (the
+    dataset factory requires it; ONLY_TEST never reads the images).
+
+    On a non-saturated metric the gate's int8-vs-fp32 shortfall measures
+    QUANTIZATION, not a ceiling — so the soak runs it at the default 1%
+    tolerance (assert_parity.py --int8) instead of a loosened one.
+    """
+    import shutil
+
+    import numpy as np
+    from PIL import Image
+
+    base = os.path.join(root, "market1501")
+    done = os.path.join(base, ".soak_hard_complete")
+    if os.path.exists(done):
+        print(f"hard eval set already at {base}")
+        return
+    clean_train = os.path.join(clean_root, "market1501",
+                               "bounding_box_train")
+    os.makedirs(base, exist_ok=True)
+    train_link = os.path.join(base, "bounding_box_train")
+    if not os.path.exists(train_link):
+        try:
+            os.symlink(clean_train, train_link)
+        except OSError:  # filesystems without symlink support
+            shutil.copytree(clean_train, train_link)
+    for sub in ("query", "bounding_box_test"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+
+    rng = np.random.RandomState(1)
+    colors = _pid_colors()
+    t0 = time.time()
+    for pid in range(N_PIDS):
+        c = colors[pid][None, None, :]
+
+        def write(subdir, camid, i):
+            shift = rng.randint(-HARD_SHIFT, HARD_SHIFT + 1, (1, 1, 3))
+            arr = np.clip(
+                c + shift + rng.randint(-18, 18, (hw[0], hw[1], 3)),
+                0, 255,
+            ).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(
+                base, subdir, f"{pid + 1:04d}_c{camid}s1_{i:06d}_00.jpg"
+            ), "JPEG", quality=80)
+
+        for i in range(QUERY_PER_PID):
+            write("query", 1, 1000 + i)
+        for i in range(GALLERY_PER_PID):
+            write("bounding_box_test", (i % 5) + 2, 2000 + i)
+        if pid % 150 == 0:
+            print(f"  hard-set pid {pid}/{N_PIDS} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    open(done, "w").write("ok")
+    print(f"hard eval set written in {time.time() - t0:.0f}s")
 
 
 CANONICAL = [
@@ -171,6 +253,61 @@ def tail_epochs(log_path):
     return out
 
 
+def parse_parity_json(text: str):
+    """Last PARITY_JSON line a gate printed, as a dict (None if absent)."""
+    out = None
+    for line in text.splitlines():
+        if line.startswith("PARITY_JSON "):
+            out = json.loads(line[len("PARITY_JSON "):])
+    return out
+
+
+def run_hard_int8_gate(work: str, clean_ds: str, ckpt: str) -> dict:
+    """int8 deployment gate AT THE DEFAULT 1% TOLERANCE on the hard
+    (unsaturated) eval set: builds the set, runs assert_parity --int8 with
+    no --int8-tol override, and returns the measured fp32 baseline + int8
+    shortfall. Additionally asserts the fp32 mAP really is unsaturated
+    (<= 0.995) — a gate whose baseline sits at 1.0 discriminates nothing
+    (VERDICT r4 #6)."""
+    hard_ds = os.path.join(work, "hard_data")
+    make_hard_eval_dataset(clean_ds, hard_ds)
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "assert_parity.py"),
+         "--config_file",
+         os.path.join(ROOT, "configs", "256_resnet50.yml"),
+         "--ckpt", ckpt, "--root", hard_ds, "--dataset", "market1501",
+         # full-range bands: the hard set's absolute level is a fixture
+         # property, not the assertion — the int8 shortfall at default
+         # tol and the explicit unsaturation check below are. Asserting
+         # both centroid metrics also selects them as the int8-gated set
+         # (assert_parity gates the table's metrics); at 3,004 queries a
+         # 1% Top-1 bound is ~30 flips — meaningful
+         "--expect", "test_centroids_mAP=0.50:0.50",
+         "--expect", "test_centroids_Top-1=0.50:0.50",
+         "--int8",
+         "MODEL.PRETRAINED", "False", "TEST.IMS_PER_BATCH", "128",
+         "TPU.INT8_CALIB_BATCHES", "2",
+         "OUTPUT_DIR", os.path.join(work, "hard_gate_logs")],
+        capture_output=True, cwd=ROOT, timeout=3600,
+    )
+    open(os.path.join(work, "hard_gate.log"), "wb").write(
+        r.stdout + r.stderr
+    )
+    rep = parse_parity_json(r.stdout.decode(errors="replace")) or {}
+    fp32_map = rep.get("fp32", {}).get("test_centroids_mAP")
+    unsaturated = fp32_map is not None and fp32_map <= 0.995
+    return {
+        "hard_gate": ("PASS" if r.returncode == 0 and unsaturated
+                      else "FAIL"),
+        "hard_gate_fp32_mAP": fp32_map,
+        "hard_gate_fp32_Top1": rep.get("fp32", {}).get(
+            "test_centroids_Top-1"),
+        "hard_gate_int8_tol": rep.get("int8_tol"),
+        "hard_gate_int8_shortfall": rep.get("int8_shortfall"),
+        "hard_gate_unsaturated": unsaturated,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", default="/tmp/soak")
@@ -181,7 +318,38 @@ def main():
     ap.add_argument("--reuse-phase1", action="store_true",
                     help="skip phase 1 if an earlier run already left a "
                          "preempted train.log + checkpoint in --work")
+    ap.add_argument("--gate-only", action="store_true",
+                    help="re-run ONLY phase 3 (the parity + hard-int8 "
+                         "gates) against the checkpoints an earlier soak "
+                         "left in --work; prints a gate-only JSON line")
     args = ap.parse_args()
+
+    if args.gate_only:
+        ds = os.path.join(args.work, "data")
+        out_dir = os.path.join(args.work, "logs")
+        target = find_best_ckpt(out_dir) or find_preempt_ckpt(out_dir)
+        assert target, f"no checkpoints under {out_dir} — run the soak first"
+        r = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "scripts",
+                                          "assert_parity.py"),
+             "--config_file",
+             os.path.join(ROOT, "configs", "256_resnet50.yml"),
+             "--ckpt", target, "--root", ds, "--dataset", "market1501",
+             "--expect", "test_centroids_mAP=0.95:0.05",
+             "--expect", "test_centroids_Top-1=0.95:0.05",
+             "MODEL.PRETRAINED", "False", "TEST.IMS_PER_BATCH", "128",
+             "OUTPUT_DIR", os.path.join(args.work, "gate_logs")],
+            capture_output=True, cwd=ROOT, timeout=3600,
+        )
+        open(os.path.join(args.work, "gate.log"), "wb").write(
+            r.stdout + r.stderr
+        )
+        hard = run_hard_int8_gate(args.work, ds, target)
+        print("SOAK_GATE " + json.dumps({
+            "parity_gate": "PASS" if r.returncode == 0 else "FAIL",
+            **hard,
+        }))
+        return
 
     os.makedirs(args.work, exist_ok=True)
     ds = os.path.join(args.work, "data")
@@ -261,7 +429,7 @@ def main():
     print(f"phase 2 done in {time.time() - t1:.0f}s", flush=True)
 
     # ---- phase 3: parity-gate dry-run on the result ----------------------
-    gate = "skipped"
+    gate, hard = "skipped", {"hard_gate": "skipped"}
     if not args.skip_parity_gate:
         target = find_best_ckpt(out_dir) or resume_from
         r = subprocess.run(
@@ -272,9 +440,7 @@ def main():
              "--ckpt", target, "--root", ds, "--dataset", "market1501",
              "--expect", "test_centroids_mAP=0.95:0.05",
              "--expect", "test_centroids_Top-1=0.95:0.05",
-             "--int8", "--int8-tol", "0.05",
              "MODEL.PRETRAINED", "False", "TEST.IMS_PER_BATCH", "128",
-             "TPU.INT8_CALIB_BATCHES", "2",
              "OUTPUT_DIR", os.path.join(args.work, "gate_logs")],
             capture_output=True, cwd=ROOT, timeout=3600,
         )
@@ -282,6 +448,7 @@ def main():
         open(os.path.join(args.work, "gate.log"), "wb").write(
             r.stdout + r.stderr
         )
+        hard = run_hard_int8_gate(args.work, ds, target)
 
     # ---- summary ---------------------------------------------------------
     times_a = [t for _, (_, t) in sorted(epochs_a.items())]
@@ -302,6 +469,7 @@ def main():
         "total_wall_s": round(time.time() - t0, 1),
         "final_double_test": n_centroid_evals >= 1 and "mAP" in text2,
         "parity_gate": gate,
+        **hard,
         "losses_tail": [
             round(loss, 4) for _, (loss, _) in sorted(epochs_b.items())
         ][-5:],

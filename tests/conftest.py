@@ -21,6 +21,32 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import pytest  # noqa: E402
+
+# Modules dominated by end-to-end work (full fit() runs, subprocess CLIs,
+# live HTTP servers, artifact export roundtrips, multi-process meshes).
+# Auto-marked `slow` at collection so `pytest -m "not slow"` is the
+# oracle-core smoke subset (numerics/oracle/unit tests, < 10 min on the
+# 1-core dev host); the full suite (no filter) stays the CI-style gate.
+# Membership measured with --durations on this host (CLAUDE.md records
+# both runtimes).
+_SLOW_MODULES = {
+    "test_cli.py",
+    "test_export.py",
+    "test_integration.py",
+    "test_multihost.py",
+    "test_preemption.py",
+    "test_rerank_serving.py",
+    "test_resume.py",
+    "test_server.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 def cpu_subprocess_env(**extra):
     """Environment for CPU-only subprocesses spawned by tests.

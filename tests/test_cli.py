@@ -67,12 +67,17 @@ def test_parity_check_logic():
 
 def test_parity_gate_dry_run(tmp_path):
     """End-to-end dry run of the one-command parity gate on the synthetic
-    fixture: train 2 tiny epochs to get a checkpoint, then assert_parity
+    fixture: train 2 tiny epochs to get a checkpoint, then (1) assert_parity
     must evaluate it and PASS with expectations the separable data meets
-    (the hard-coded paper table is for the real datasets)."""
+    (the hard-coded paper table is for the real datasets), and (2) the
+    --int8 deployment gate at its DEFAULT 1% tolerance must pass on the
+    NOISY eval fixture — whose fp32 mAP is meaningfully below 1.0, so the
+    bounded int8 shortfall measures quantization, not a saturated metric
+    (VERDICT r4 #6; mirrors the soak's hard gate)."""
     import glob
+    import json as _json
 
-    from test_integration import _make_separable_market
+    from test_integration import _make_noisy_eval_market, _make_separable_market
     from centroids_reid_tpu.config import get_default_cfg
     from centroids_reid_tpu.engine import fit
 
@@ -103,22 +108,50 @@ def test_parity_gate_dry_run(tmp_path):
          "--dataset", "market1501",
          "--expect", "test_centroids_mAP=0.90:0.10",
          "--expect", "test_centroids_Top-1=0.90:0.10",
-         # deployment gate: the int8 serving path must land within tol of
-         # the fp32 metrics on the same separable fixture (loose tol: a
-         # 2-epoch tiny resnet18's int8 calibration wobbles more than a
-         # converged model's)
-         "--int8", "--int8-tol", "0.15",
          "MODEL.NAME", "resnet18", "MODEL.PRETRAINED", "False",
          "INPUT.SIZE_TEST", "[32,16]", "USE_MIXED_PRECISION", "False",
-         "TPU.INT8_CALIB_BATCHES", "1",
          "OUTPUT_DIR", str(tmp_path / "logs")],
         capture_output=True, timeout=900, env=env, cwd=str(tmp_path),
     )
     assert out.returncode == 0, (out.stdout.decode()[-2000:],
                                  out.stderr.decode()[-2000:])
     assert b"PARITY OK" in out.stdout
-    assert b"Evaluation uses the int8 serving path" in out.stdout
-    assert b"INT8 PARITY OK" in out.stdout
+
+    # int8 deployment gate, DEFAULT tolerance, UNSATURATED eval set: the
+    # same identities with per-image colour shifts (fp32 mAP ~0.6-0.8 on
+    # this fixture), so the gated shortfall actually discriminates
+    noisy_root = _make_noisy_eval_market(tmp_path, root)
+    out2 = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "assert_parity.py"),
+         "--config_file", "", "--ckpt", ckpt[0], "--root", noisy_root,
+         "--dataset", "market1501",
+         # wide bands: the absolute level is a fixture property, not the
+         # assertion — the unsaturation + int8 shortfall checks below are.
+         # Overriding BOTH default-table metrics also selects them as the
+         # int8-gated set (centroid mode = the deployment configuration;
+         # plain-mode Top-1 on 48 queries has 2.1% rank granularity)
+         "--expect", "test_centroids_mAP=0.60:0.35",
+         "--expect", "test_centroids_Top-1=0.50:0.45",
+         "--int8",  # no --int8-tol: the DEFAULT 0.01 must hold
+         "MODEL.NAME", "resnet18", "MODEL.PRETRAINED", "False",
+         "INPUT.SIZE_TEST", "[32,16]", "USE_MIXED_PRECISION", "False",
+         "TPU.INT8_CALIB_BATCHES", "1",
+         "OUTPUT_DIR", str(tmp_path / "logs2")],
+        capture_output=True, timeout=900, env=env, cwd=str(tmp_path),
+    )
+    assert out2.returncode == 0, (out2.stdout.decode()[-2000:],
+                                  out2.stderr.decode()[-2000:])
+    assert b"Evaluation uses the int8 serving path" in out2.stdout
+    assert b"INT8 PARITY OK" in out2.stdout
+    rep = None
+    for line in out2.stdout.decode().splitlines():
+        if line.startswith("PARITY_JSON "):
+            rep = _json.loads(line[len("PARITY_JSON "):])
+    assert rep is not None
+    fp32_map = rep["fp32"]["test_centroids_mAP"]
+    assert 0.2 <= fp32_map <= 0.995, f"gate baseline saturated: {fp32_map}"
+    assert rep["int8_tol"] == 0.01  # the argparse default, not a loosening
+    assert all(v <= 0.01 for v in rep["int8_shortfall"].values()), rep
 
 
 def test_enable_compile_cache_env_policy(monkeypatch, tmp_path):

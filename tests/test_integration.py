@@ -1,6 +1,8 @@
 """End-to-end integration: train on a synthetic separable dataset and reach
 high mAP (SURVEY.md §4's prescribed integration test)."""
 
+import os
+
 import numpy as np
 import pytest
 from PIL import Image
@@ -35,6 +37,55 @@ def _make_separable_market(tmp_path, n_pids=8, per_pid=6, hw=(32, 16)):
             write("query", pid, 1, 100 + i)
         for i in range(3):
             write("bounding_box_test", pid, ((i % 5) + 2), 200 + i)
+    return str(root)
+
+
+def _make_noisy_eval_market(tmp_path, train_root, shift=80,
+                            n_pids=8, q_per=6, g_per=9, hw=(32, 16)):
+    """UNSATURATED eval set over the separable fixture's identities: each
+    query/gallery image's base colour is shifted by a per-IMAGE uniform
+    offset in [-shift, shift]^3 (comparable to the inter-class colour
+    spacing), so identities bleed into neighbours and fp32 mAP lands
+    meaningfully below 1.0. Per-pixel noise alone cannot do this (global
+    pooling averages iid pixel noise to ~0). The train split is shared
+    with ``train_root`` (the dataset factory requires it; ONLY_TEST never
+    reads the images). Mirrors scripts/soak_canonical.py::
+    make_hard_eval_dataset at test scale — the int8 deployment gate must
+    discriminate on a metric that is not pinned at 1.0 (VERDICT r4 #6)."""
+    import shutil
+
+    root = tmp_path / "noisy_data"
+    base = root / "market1501"
+    base.mkdir(parents=True)
+    src_train = os.path.join(train_root, "market1501",
+                             "bounding_box_train")
+    try:
+        os.symlink(src_train, base / "bounding_box_train")
+    except OSError:
+        shutil.copytree(src_train, base / "bounding_box_train")
+    (base / "query").mkdir()
+    (base / "bounding_box_test").mkdir()
+
+    # the SAME colour table as _make_separable_market (its first rng draw)
+    colors = np.random.RandomState(0).randint(30, 225, (n_pids, 3))
+    rng = np.random.RandomState(1)
+
+    def write(subdir, pid, camid, i):
+        s = rng.randint(-shift, shift + 1, (1, 1, 3))
+        arr = np.clip(
+            colors[pid][None, None, :] + s
+            + rng.randint(-20, 20, (hw[0], hw[1], 3)),
+            0, 255,
+        ).astype(np.uint8)
+        Image.fromarray(arr).save(
+            base / subdir / f"{pid + 1:04d}_c{camid}s1_{i:06d}_00.jpg"
+        )
+
+    for pid in range(n_pids):
+        for i in range(q_per):
+            write("query", pid, 1, 100 + i)
+        for i in range(g_per):
+            write("bounding_box_test", pid, (i % 5) + 2, 200 + i)
     return str(root)
 
 
