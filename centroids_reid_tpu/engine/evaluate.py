@@ -246,30 +246,21 @@ def extract_embeddings_sharded(
 def _centroid_gallery_rows(g_pids, g_camids, q_pids, q_camids,
                            respect_camids: bool) -> int:
     """EXACT number of gallery rows the centroid eval set will contain,
-    computed from ids alone (metrics/centroids.py's construction depends
-    only on pids/camids, never on embedding values): plain mode is one
-    centroid per gallery pid; camera-aware mode is one per deduplicated
-    used-camera combination per (pid, query camid)."""
-    if not respect_camids:
-        return len(np.unique(g_pids))
-    from collections import defaultdict
+    by running the REAL construction (metrics/centroids.py) on dummy
+    1-wide embeddings — its row count depends only on pids/camids, never
+    on embedding values, so this costs ~nothing and can never drift from
+    the construction it predicts (re-implementing the camera-combination
+    dedup here would be a second copy of the reference semantics)."""
+    from ..metrics.centroids import build_centroid_eval_set
 
-    g_by_pid = defaultdict(list)
-    for pid, cam in zip(g_pids, g_camids):
-        g_by_pid[pid].append(cam)
-    q_by_pid = defaultdict(set)
-    for pid, cam in zip(q_pids, q_camids):
-        q_by_pid[pid].add(cam)
-    total = 0
-    for pid, cams in g_by_pid.items():
-        cams = np.asarray(cams)
-        combos = set()
-        for current in q_by_pid.get(pid, ()):
-            used = tuple(sorted(np.unique(cams[cams != current])))
-            if used:
-                combos.add(used)
-        total += len(combos)
-    return total
+    nq = len(np.asarray(q_pids))
+    pids = np.concatenate([np.asarray(q_pids), np.asarray(g_pids)])
+    camids = np.concatenate([np.asarray(q_camids), np.asarray(g_camids)])
+    emb = np.zeros((len(pids), 1), np.float32)
+    cent = build_centroid_eval_set(
+        emb, pids, camids, num_query=nq, respect_camids=respect_camids,
+    )
+    return int(len(cent.labels) - nq)
 
 
 def validate_rerank_config(cfg, dataset) -> None:

@@ -310,6 +310,9 @@ def export_retriever(
         "emb_dim": int(gf32.shape[1]),
         "emb_dtype": str(np.dtype(out_aval.dtype)),
         "normalized": bool(normalize),
+        # SOLVER.DISTANCE_FUNC at export: the re-rank local distance a
+        # rerank_window load must use for get_similar --rerank equality
+        "distance": str(cfg.SOLVER.DISTANCE_FUNC),
         "ingest": ingest,
         "pixel_mean": [float(v) for v in cfg.INPUT.PIXEL_MEAN],
         "pixel_std": [float(v) for v in cfg.INPUT.PIXEL_STD],
@@ -352,10 +355,12 @@ class LoadedEmbedder:
 
     @property
     def num_compiles(self) -> int:
-        """Distinct dispatched shapes so far (warmup/no-recompile
-        checks). Each distinct shape is exactly one compile of the
-        jit-wrapped program; counted host-side because jax.jit's
-        ``_cache_size`` is a private API that changes across releases."""
+        """Distinct successfully dispatched shapes so far (warmup/
+        no-recompile checks). Each distinct shape is exactly one compile
+        of the jit-wrapped program; counted host-side because jax.jit's
+        ``_cache_size`` is a private API that changes across releases.
+        This guards SHAPE discipline — a non-shape-driven recompile
+        (cache eviction, dtype/device change) is outside its scope."""
         return len(self._shapes)
 
     def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
@@ -383,8 +388,9 @@ class LoadedEmbedder:
             )
         n = imgs_u8.shape[0]
         if self._fixed is None:
-            self._shapes.add(imgs_u8.shape)
-            return np.asarray(self._call(imgs_u8))
+            out_sym = np.asarray(self._call(imgs_u8))
+            self._shapes.add(imgs_u8.shape)  # count only what dispatched
+            return out_sym
         bs = int(self._fixed)
         out = []
         for i in range(0, n, bs):
@@ -394,8 +400,8 @@ class LoadedEmbedder:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, h, w, 3), np.uint8)]
                 )
-            self._shapes.add(chunk.shape)
             e = np.asarray(self._call(chunk))
+            self._shapes.add(chunk.shape)  # count only what dispatched
             out.append(e[: bs - pad] if pad else e)
         return np.concatenate(out) if out else np.zeros(
             (0, self.meta["emb_dim"]),
@@ -485,10 +491,22 @@ class LoadedRetriever:
             if rerank_window and g else 0
         )
         if self.rerank_window:
+            # the export-time SOLVER.DISTANCE_FUNC rides in the meta;
+            # cosine re-ranking needs a normalized artifact for the same
+            # rank-equivalence reason as the live service (service.py)
+            dist = str(meta.get("distance", "euclidean"))
+            if dist == "cosine" and not meta.get("normalized", True):
+                raise ValueError(
+                    "rerank_window on a cosine-config artifact exported "
+                    "with normalize=False: euclidean candidate selection "
+                    "is not rank-equivalent there — re-export with "
+                    "normalize=True"
+                )
             self._rank = jax.jit(partial(
                 reranked_query, k=self.k, r=self.rerank_window,
                 k1=int(rerank_k1), k2=int(rerank_k2),
                 lam=float(rerank_lambda), use_pallas=use_pallas,
+                dist=dist,
             ))
         else:
             self._rank = jax.jit(
@@ -542,11 +560,11 @@ class LoadedRetriever:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + want, np.uint8)]
                 )
-            self._shapes.add(chunk.shape)
             # embed output stays on device; the rank program consumes it
             # without a host round-trip
             e = self._call(chunk)
             d, idx = self._rank(e, self._gf, self._gf32, self._gn)
+            self._shapes.add(chunk.shape)  # count only what dispatched
             rows = bs - pad
             ds.append(np.asarray(d)[:rows])
             idxs.append(np.asarray(idx)[:rows])

@@ -36,9 +36,12 @@ Liveness bound: a request waits at most ``dispatch_timeout_s`` for the
 device (the batcher future / the dispatch lock) — a wedged dispatch (a
 tunnel stall; this environment demonstrates they happen) answers 503 +
 Retry-After instead of blocking every in-flight handler forever, and
-/healthz flips to "degraded" with the stall age while it lasts. The
-wedged thread itself cannot be interrupted (it is inside the runtime),
-but the server stays observable and every OTHER request stays bounded.
+/healthz flips to "degraded" with the stall age while it lasts. A
+deadline that passes behind HEALTHY dispatches (plain backlog — no
+dispatch older than the bound) answers 429 like the other shed paths,
+so sustained overload never reads as phantom device wedges. The wedged
+thread itself cannot be interrupted (it is inside the runtime), but the
+server stays observable and every OTHER request stays bounded.
 Gallery mutation is intentionally absent: the gallery is a device-
 resident immutable index (rebuild + swap the service to update, the
 same lifecycle as the reference's create_embeddings artifacts).
@@ -207,7 +210,12 @@ class _DynamicBatcher:
         the coalesced dispatch. On expiry the entry is cancelled — if it
         is still queued the worker skips it entirely (no wasted device
         work); if its batch is already in flight the eventual result is
-        dropped — and ``DispatchStuck`` propagates to the caller."""
+        dropped. What propagates distinguishes WHY the deadline passed:
+        ``DispatchStuck`` (503) when a device dispatch itself has been in
+        flight longer than the timeout (a wedged tunnel/queue — the same
+        rule /healthz's "degraded" uses), ``Overloaded`` (429) when the
+        wait was plain backlog of healthy dispatches — sustained
+        overload must read as shed load, not phantom device wedges."""
         import queue
 
         fut: Future = Future()
@@ -221,6 +229,12 @@ class _DynamicBatcher:
             return fut.result(timeout)
         except FuturesTimeout:
             fut.cancel()
+            if (self._clock is not None
+                    and self._clock.oldest_age_s() < timeout):
+                raise Overloaded(
+                    f"queue wait exceeded {timeout:g}s behind healthy "
+                    "dispatches"
+                ) from None
             raise DispatchStuck(
                 f"coalesced dispatch did not complete within {timeout:g}s"
             ) from None
@@ -327,9 +341,11 @@ class RetrievalHTTPServer:
         bites when set below ``max_pending``.
         ``dispatch_timeout_s`` bounds how long any request waits on the
         device (the dispatch lock / the batcher future): past it the
-        request answers 503 + Retry-After, the ``stuck`` counter
-        increments, and /healthz reports "degraded" while the wedged
-        dispatch persists (0 disables the bound)."""
+        request answers 503 + Retry-After and the ``stuck`` counter
+        increments when a dispatch really is wedged (in flight longer
+        than the bound — the same rule that flips /healthz to
+        "degraded"), or 429 when the wait was backlog of healthy
+        dispatches (0 disables the bound)."""
         self.service = service
         self._dispatch_lock = threading.Lock()
         self.max_pending = int(max_pending)
@@ -450,6 +466,14 @@ class RetrievalHTTPServer:
                 # warmed range would dispatch a never-compiled shape
                 if not self._dispatch_lock.acquire(
                         timeout=-1 if timeout is None else timeout):
+                    # same distinction as the batcher: a dispatch older
+                    # than the bound = wedged device (503); a healthy
+                    # dispatch churn holding the lock = overload (429)
+                    if self._clock.oldest_age_s() < timeout:
+                        raise Overloaded(
+                            f"dispatch-lock wait exceeded {timeout:g}s "
+                            "behind healthy dispatches"
+                        )
                     raise DispatchStuck(
                         f"device dispatch held > {timeout:g}s by an "
                         "earlier request"
@@ -766,17 +790,21 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
         # artifact serving: everything (program, weights, gallery, paths,
         # ingest config) rides in the file — LoadedRetriever duck-types
         # the service surface the server needs. Re-ranking is a
-        # load-time choice (no config on this path: the canonical
-        # k1/k2/lambda defaults apply unless the flags say otherwise)
+        # load-time choice (no config on this path: the TPU.RERANK_*
+        # config defaults apply unless the flags say otherwise — ONE
+        # source of truth for the canonical k1/k2/lambda)
         from .export import load_retriever
 
+        dtpu = get_default_cfg().TPU
         retriever = load_retriever(
             args.artifact,
             use_bf16_kernel=False if args.fp32_exact else None,
             rerank_window=args.rerank_window,
-            rerank_k1=20 if args.rerank_k1 is None else args.rerank_k1,
-            rerank_k2=6 if args.rerank_k2 is None else args.rerank_k2,
-            rerank_lambda=(0.3 if args.rerank_lambda is None
+            rerank_k1=(dtpu.RERANK_K1 if args.rerank_k1 is None
+                       else args.rerank_k1),
+            rerank_k2=(dtpu.RERANK_K2 if args.rerank_k2 is None
+                       else args.rerank_k2),
+            rerank_lambda=(dtpu.RERANK_LAMBDA if args.rerank_lambda is None
                            else args.rerank_lambda),
         )
         retriever.warmup()  # first request must not pay the compile

@@ -65,7 +65,8 @@ def ranked_query(e, gf, gf32, gn, k: int, use_pallas: bool = True):
 
 
 def reranked_query(e, gf, gf32, gn, k: int, r: int, k1: int, k2: int,
-                   lam: float, use_pallas: bool = True):
+                   lam: float, use_pallas: bool = True,
+                   dist: str = "euclidean"):
     """``ranked_query`` + windowed k-reciprocal re-ranking of each query's
     top-``r`` candidate window, in the same single device program:
     kernel-dtype selection narrows to ``r`` candidates, then each query is
@@ -75,6 +76,13 @@ def reranked_query(e, gf, gf32, gn, k: int, r: int, k1: int, k2: int,
     ``lam * dn + (1 - lam) * jaccard`` re-rank score — the same values the
     ``get_similar --rerank`` windowed CLI path saves (inference/api.py),
     so a served response equals the offline result on the same inputs.
+
+    ``dist`` is the re-rank's LOCAL distance (SOLVER.DISTANCE_FUNC — the
+    CLI path's choice, inference/api.py). Candidate SELECTION is always
+    the service's euclidean raw score; for ``dist="cosine"`` the caller
+    must serve L2-normalized embeddings+gallery (RetrievalService
+    enforces it), where euclidean selection is rank-equivalent to cosine
+    (``||a-b||^2 = 2|1-cos|``) so the window SET matches the CLI's.
 
     Used by ``RetrievalService(rerank_window=r)``'s jitted ``run`` AND as
     ``LoadedRetriever``'s rank stage when the artifact is served with
@@ -90,7 +98,7 @@ def reranked_query(e, gf, gf32, gn, k: int, r: int, k1: int, k2: int,
     chunk = max(1, min(_WIN_CHUNK, e.shape[0]))
     vals = _windowed(
         e.astype(jnp.float32), gf32, idx0, float(lam),
-        k1c + 1, k1c // 2 + 1, k2c, chunk, "euclidean",
+        k1c + 1, k1c // 2 + 1, k2c, chunk, dist,
     )
     order = jnp.argsort(vals, axis=1)[:, :k]
     return (
@@ -197,6 +205,20 @@ class RetrievalService:
         self._rerank_params = (
             int(rerank_k1), int(rerank_k2), float(rerank_lambda)
         )
+        # the re-rank's LOCAL distance follows the config like the CLI
+        # windowed path (inference/api.py passes SOLVER.DISTANCE_FUNC);
+        # cosine needs normalized serving so the euclidean candidate
+        # selection is rank-equivalent to the CLI's cosine selection
+        self._rerank_dist = str(cfg.SOLVER.DISTANCE_FUNC)
+        if (self.rerank_window and self._rerank_dist == "cosine"
+                and not normalize):
+            raise ValueError(
+                "rerank_window with SOLVER.DISTANCE_FUNC='cosine' needs "
+                "normalize=True (serve.py --normalize_features): on "
+                "unnormalized features euclidean candidate selection is "
+                "not rank-equivalent to the CLI's cosine selection, so "
+                "served results could not equal get_similar --rerank"
+            )
         self.paths = np.asarray(gallery_paths)
         if model_bundle is None:
             model_bundle = load_inference_model(cfg)
@@ -333,7 +355,8 @@ class RetrievalService:
             e = embed_q(params, batch_stats, imgs_u8)
             if rr:
                 return reranked_query(e, gf, gf32, gn, k_eff, rr,
-                                      rk1, rk2, rlam, use_pallas=use_pallas)
+                                      rk1, rk2, rlam, use_pallas=use_pallas,
+                                      dist=self._rerank_dist)
             return ranked_query(e, gf, gf32, gn, k_eff,
                                 use_pallas=use_pallas)
 
@@ -419,7 +442,7 @@ class RetrievalService:
             cand = gather_rows(idx0, gf32)
             vals = _windowed_feats(
                 e32, cand, rlam, k1c + 1, k1c // 2 + 1, k2c,
-                max(1, min(_WIN_CHUNK, e.shape[0])), "euclidean",
+                max(1, min(_WIN_CHUNK, e.shape[0])), self._rerank_dist,
             )
             order = jnp.argsort(vals, axis=1)[:, :k_final]
             return (

@@ -529,7 +529,15 @@ def eval_func_streaming_reranked(
     order (oracle-tested against ``eval_func`` on the explicit stitched
     indices in tests/test_streaming_eval.py). Ties between re-ranked
     values resolve in candidate-window order rather than gallery-index
-    order — measure-zero for float distances.
+    order — measure-zero for float distances. The same caveat applies to
+    window MEMBERSHIP: the stitching assumes the top-r window is the
+    first-r prefix of the streaming order, which holds except when two
+    entries with bit-identical distances straddle rank r exactly (e.g.
+    byte-duplicate gallery images) and the two selectors break that tie
+    differently — a tail hit displaced by its duplicate can then have
+    its rank understated by the duplicate's window slot. Exact-tie-at-
+    the-boundary only; dedup the gallery or widen r past the duplicate
+    run if it matters.
     """
     from ..ops.rerank import rerank_topk
 

@@ -362,8 +362,14 @@ def rerank_topk(
 
     ``mesh``: a Mesh with a gallery axis routes the candidate-window
     selection through the gallery-sharded retrieval path
-    (parallel/retrieval.py::sharded_topk — capacity = the mesh's
-    aggregate HBM); the per-candidate-set re-rank core is O(Q·r²) and
+    (parallel/retrieval.py::sharded_topk), which splits the selection
+    FLOPs and the per-shard score state across chips. NOTE the capacity
+    bound: this entry takes a host/replicated ``gf`` (and the windowed
+    core gathers candidate rows from it), so gallery RESIDENCY is still
+    one chip's HBM — aggregate-HBM residency needs a caller-sharded
+    gallery end to end, which the serving path implements
+    (inference/service.py + make_sharded_row_gather) and this offline
+    entry does not. The per-candidate-set re-rank core is O(Q·r²) and
     stays a single replicated program either way.
 
     Composes the fused retrieval kernel with the re-ranker the TPU way:

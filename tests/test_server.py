@@ -1164,6 +1164,70 @@ def test_dispatch_timeout_503_degraded_and_recovery(window_ms):
         server.shutdown()
 
 
+@pytest.mark.parametrize("window_ms", [0.0, 300.0],
+                         ids=["direct", "batched"])
+def test_timeout_behind_healthy_dispatches_is_429(window_ms):
+    """A dispatch deadline that passes behind HEALTHY dispatches (no
+    in-flight dispatch older than the bound — plain backlog) sheds with
+    429 like the other overload paths, never a phantom device wedge's
+    503. The wedged side of the classification is
+    test_dispatch_timeout_503_degraded_and_recovery; here the dispatch
+    clock is pinned young so the same timeout deterministically
+    classifies as backlog."""
+    import threading
+    import time as _time
+
+    from centroids_reid_tpu.inference.server import RetrievalHTTPServer
+
+    class _YoungClock:
+        """Every in-flight dispatch reads as younger than the bound."""
+
+        def begin(self):
+            return 0
+
+        def end(self, tok):
+            pass
+
+        def oldest_age_s(self):
+            return 0.05
+
+    svc = _WedgeableService()
+    server = RetrievalHTTPServer(
+        svc, port=0, batch_window_ms=window_ms, dispatch_timeout_s=0.6,
+    ).start_background()
+    clock = _YoungClock()
+    server._clock = clock
+    if server._batcher is not None:
+        server._batcher._clock = clock
+    base = f"http://127.0.0.1:{server.port}"
+    body = {"images_b64": [base64.b64encode(b"\x07hello").decode()]}
+    ta = None
+    try:
+        svc.wedge = True
+        ta = threading.Thread(target=lambda: _post_err(
+            base + "/search", json.dumps(body).encode()
+        ))
+        ta.start()
+        deadline = _time.time() + 10
+        while not svc.calls and _time.time() < deadline:
+            _time.sleep(0.01)
+        assert svc.calls, "first request never reached the device"
+
+        code, err = _post_err(base + "/search", json.dumps(body).encode())
+        assert code == 429, (code, err)
+        assert "overloaded" in err["error"]
+
+        # backlog shedding is not a device wedge: stuck counter untouched
+        with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["stuck"] == 0
+    finally:
+        svc.release.set()
+        if ta is not None:
+            ta.join(30)
+        server.shutdown()
+
+
 def test_direct_path_oversize_request_slices_at_max_batch():
     """ADVICE r4: a direct-path (no batcher) request larger than
     max_batch must dispatch in max_batch-row slices padded to warmed
