@@ -368,6 +368,7 @@ def _artifact_retrieval_rows(bundle, g: int = 100_000, d: int = 2048,
     del blob, aux
     loaded = load_retriever(apath)  # auto-selects bf16+Pallas on TPU
     os.remove(apath)
+    os.rmdir(tmp)
 
     imgs = rng.randint(0, 256, (qb, 256, 128, 3), np.uint8)
     loaded.query_arrays(imgs)  # compile embed + rank, first dispatch

@@ -200,7 +200,9 @@ class _DynamicBatcher:
 
         self.window_s = float(window_ms) / 1e3
         self.max_batch = int(max_batch)
-        self._clock = clock
+        # a standalone batcher owns its clock so timeout classification
+        # (wedged 503 vs backlog 429) works without a server around it
+        self._clock = clock if clock is not None else _DispatchClock()
         self._q: "queue.Queue" = queue.Queue(maxsize=int(max_queue))
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -229,8 +231,7 @@ class _DynamicBatcher:
             return fut.result(timeout)
         except FuturesTimeout:
             fut.cancel()
-            if (self._clock is not None
-                    and self._clock.oldest_age_s() < timeout):
+            if self._clock.oldest_age_s() < timeout:
                 raise Overloaded(
                     f"queue wait exceeded {timeout:g}s behind healthy "
                     "dispatches"

@@ -455,7 +455,7 @@ def eval_func_streaming(
         respect_camids=respect_camids, dist=dist, mesh=mesh,
         g_chunk=g_chunk,
     )
-    max_rank = _clamp_max_rank(max_rank, int(gf.shape[0]))
+    max_rank = _clamp_max_rank(max_rank, int(np.shape(gf)[0]))
     return _metrics_from_ranks(
         sr.pos, sr.ranks, _hrank_lexsort(sr.pos, sr.dpos), sr.num_rel,
         np.asarray(q_pids), max_rank,

@@ -139,7 +139,9 @@ def make_hard_eval_dataset(clean_root: str, root: str,
                                "bounding_box_train")
     os.makedirs(base, exist_ok=True)
     train_link = os.path.join(base, "bounding_box_train")
-    if not os.path.exists(train_link):
+    if os.path.islink(train_link) and not os.path.exists(train_link):
+        os.remove(train_link)  # dangling link from an earlier failed run
+    if not os.path.lexists(train_link):
         try:
             os.symlink(clean_train, train_link)
         except OSError:  # filesystems without symlink support

@@ -1252,3 +1252,35 @@ def test_direct_path_oversize_request_slices_at_max_batch():
         assert got == [float(10 + i) for i in range(10)]
     finally:
         server.shutdown()
+
+
+def test_standalone_batcher_default_clock_classifies_wedge():
+    """A _DynamicBatcher built without a server-supplied clock owns one
+    (review r5), so a wedged dispatch still classifies as DispatchStuck
+    after the timeout instead of every timeout misreporting as backlog."""
+    import threading
+    import time as _time
+
+    from centroids_reid_tpu.inference.server import (
+        DispatchStuck,
+        _DynamicBatcher,
+    )
+
+    svc = _WedgeableService()
+    svc.wedge = True
+    b = _DynamicBatcher(window_ms=1.0, max_batch=8)
+    img = np.zeros((1, 4, 4, 3), np.uint8)
+    t = threading.Thread(target=lambda: b.submit(img, svc, timeout=10))
+    t.start()
+    try:
+        deadline = _time.time() + 10
+        while not svc.calls and _time.time() < deadline:
+            _time.sleep(0.01)
+        assert svc.calls, "first entry never dispatched"
+        _time.sleep(0.3)  # let the wedged dispatch age past the bound
+        with pytest.raises(DispatchStuck):
+            b.submit(img, svc, timeout=0.5)
+    finally:
+        svc.release.set()
+        t.join(30)
+        b.stop()

@@ -230,3 +230,18 @@ def test_streaming_pid_heavy_sharded():
         qf, gf, q_pids, g_pids, q_camids, g_camids, g_chunk=16, mesh=mesh,
     )
     _assert_same(m_sh, m_ref)
+
+
+def test_streaming_accepts_list_gallery():
+    """Array-like (list-of-rows) galleries stay accepted: the max_rank
+    clamp must not read ``.shape`` on the raw argument (review r5 — a
+    list gallery used to crash AFTER both streaming passes finished)."""
+    qf, gf, q_pids, g_pids, q_camids, g_camids = _random_reid_set(11)
+    m_arr = eval_func_streaming(
+        qf, gf, q_pids, g_pids, q_camids, g_camids, dist="euclidean"
+    )
+    m_list = eval_func_streaming(
+        qf, [row for row in gf], q_pids, g_pids, q_camids, g_camids,
+        dist="euclidean",
+    )
+    _assert_same(m_arr, m_list)
