@@ -79,6 +79,53 @@ def bench(fn, qf, gf, k, n1=10, n2=110, reps=3):
     return diffs[len(diffs) // 2]
 
 
+def bench_int8(qf, gf, k, n1=10, n2=110, reps=3):
+    """Difference-method timing of the int8-gallery program
+    (ops/retrieval_int8.topk_select_int8): margin selection over the
+    resident int8 codes + exact fp32 re-score of the candidates —
+    gallery bytes on the selection stream are 1x vs bf16's 2x."""
+    from centroids_reid_tpu.ops import retrieval_int8 as ri
+
+    g_real, d = gf.shape
+    pad = (-g_real) % _G_TILE
+    gfp = jnp.concatenate([gf, jnp.zeros((pad, d), gf.dtype)]) if pad else gf
+    gal = ri.quantize_gallery(gfp)
+    if pad:
+        gal = ri.Int8Gallery(
+            gal.codes, gal.scale, gal.gn.at[g_real:].set(jnp.inf)
+        )
+    gf32 = jnp.asarray(gfp, jnp.float32)
+    sel = min(g_real, max(2 * k, k + 16))
+    qf2 = jnp.stack([qf, qf * jnp.asarray(1.0078125, qf.dtype)])
+
+    def run(n):
+        @jax.jit
+        def prog(qf2_, codes, scale, gn, gf32_):
+            gal_ = ri.Int8Gallery(codes, scale, gn)
+
+            def body(c, i):
+                v, idx = ri.topk_select_int8(
+                    qf2_[i % 2], gal_, gf32_, k, sel=sel
+                )
+                return c + v.sum() + idx.sum().astype(jnp.float32), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
+            return c
+
+        args_ = (qf2, gal.codes, gal.scale, gal.gn, gf32)
+        float(prog(*args_))  # compile + warm
+        t0 = time.time()
+        float(prog(*args_))
+        return time.time() - t0
+
+    diffs = []
+    for _ in range(reps):
+        ta, tb = run(n1), run(n2)
+        diffs.append((tb - ta) / (n2 - n1))
+    diffs.sort()
+    return diffs[len(diffs) // 2]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--gallery", type=int, default=100_000)
@@ -121,6 +168,15 @@ def main():
         # the default path (scores kernel + hierarchical selection), any k
         results[f"hier_pallas_bf16_k{k}_ms"] = bench(
             hier_pallas, qf16, gf16, k) * 1e3
+        # int8-quantized gallery index: half the selection bandwidth,
+        # exact fp32 re-score of the margin candidates. Skipped under
+        # --bf16-only: that mode exists because a second full-precision
+        # gallery copy does not fit at 1M x 2048, and this row's exact
+        # re-score needs exactly that copy (the capacity configuration
+        # without it is the service's concern, not this kernel row's)
+        if not args.bf16_only:
+            results[f"int8_gallery_k{k}_ms"] = bench_int8(
+                qf.astype(jnp.float32), gf, k) * 1e3
         if args.bf16_only:
             continue
         results[f"select_fp32_exact_k{k}_ms"] = bench(

@@ -773,6 +773,13 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
              "--gallery_data path)",
     )
     parser.add_argument(
+        "--int8_gallery", action="store_true",
+        help="serve from a per-row int8 scalar-quantized gallery index "
+             "(ops/retrieval_int8.py): half the bf16 selection "
+             "bandwidth, 1-byte/elem selection copy; distances stay "
+             "exact fp32 (margin-select + re-score)",
+    )
+    parser.add_argument(
         "--rerank_k1", type=int, default=None,
         help="k-reciprocal neighbourhood size (default: TPU.RERANK_K1)",
     )
@@ -787,6 +794,12 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args(argv)
 
+    if args.artifact and args.int8_gallery:
+        raise SystemExit(
+            "--int8_gallery applies to --gallery_data serving (the "
+            "service quantizes at build); artifacts carry their gallery "
+            "in the file — re-export instead"
+        )
     if args.artifact:
         # artifact serving: everything (program, weights, gallery, paths,
         # ingest config) rides in the file — LoadedRetriever duck-types
@@ -882,6 +895,7 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
                    else args.rerank_k2),
         rerank_lambda=(cfg.TPU.RERANK_LAMBDA if args.rerank_lambda is None
                        else args.rerank_lambda),
+        use_int8_gallery=args.int8_gallery,
     )
     server = RetrievalHTTPServer(
         service, args.host, args.port,

@@ -88,9 +88,18 @@ def reranked_query(e, gf, gf32, gn, k: int, r: int, k1: int, k2: int,
     ``LoadedRetriever``'s rank stage when the artifact is served with
     ``--rerank_window`` (inference/export.py) — one program, both
     serving surfaces."""
+    d0, idx0 = ranked_query(e, gf, gf32, gn, r, use_pallas=use_pallas)
+    return _rerank_tail(e, gf32, idx0, k, r, k1, k2, lam, dist)
+
+
+def _rerank_tail(e, gf32, idx0, k: int, r: int, k1: int, k2: int,
+                 lam: float, dist: str):
+    """Windowed k-reciprocal re-rank of pre-selected candidate windows
+    ``idx0 [B, r]`` — the shared back half of ``reranked_query`` and
+    ``reranked_query_int8`` (selection differs, the re-rank math must
+    not)."""
     from ..ops.rerank import _WIN_CHUNK, _windowed
 
-    d0, idx0 = ranked_query(e, gf, gf32, gn, r, use_pallas=use_pallas)
     # same neighbourhood clamps as ops.rerank.rerank_topk: the per-set
     # rank matrix has r+1 rows, k1+1 columns
     k1c = max(1, min(int(k1), r))
@@ -105,6 +114,43 @@ def reranked_query(e, gf, gf32, gn, k: int, r: int, k1: int, k2: int,
         jnp.take_along_axis(vals, order, axis=1),
         jnp.take_along_axis(idx0, order, axis=1),
     )
+
+
+def ranked_query_int8(e, gal, gf32, k: int, use_pallas: bool = True,
+                      sel: int = 0):
+    """``ranked_query`` over an int8-quantized gallery index
+    (ops/retrieval_int8.py — beyond parity, FAISS-SQ8-style): int8
+    candidate selection at margin ``sel`` (0 -> max(2k, k+16), clamped
+    by the CALLER to the real row count when ``gal`` is padded) + the
+    same exact fp32 re-score as the bf16 path. Returned distances are
+    exact fp32 squared distances of the returned indices — quantization
+    gates candidate recall only. Halves the selection pass's gallery
+    HBM stream vs bf16 (the measured binding constraint at 100k+ rows,
+    README benchmark notes)."""
+    from ..ops.retrieval_int8 import topk_select_int8
+
+    pad_q = (-e.shape[0]) % 128
+    eq = e
+    if pad_q:
+        eq = jnp.concatenate([e, jnp.zeros((pad_q, e.shape[1]), e.dtype)])
+    val, idx = topk_select_int8(
+        eq, gal, gf32, k, sel=sel, use_pallas=use_pallas
+    )
+    val, idx = val[: e.shape[0]], idx[: e.shape[0]]
+    e32 = e.astype(jnp.float32)
+    return val + jnp.sum(e32 * e32, axis=1)[:, None], idx
+
+
+def reranked_query_int8(e, gal, gf32, k: int, r: int, k1: int, k2: int,
+                        lam: float, use_pallas: bool = True,
+                        dist: str = "euclidean", sel: int = 0):
+    """``reranked_query`` with the int8-selected candidate window: the
+    window members come from the quantized index (margin semantics of
+    ``ranked_query_int8``), the re-rank itself runs over exact fp32
+    rows — identical math to the bf16 path via ``_rerank_tail``."""
+    _, idx0 = ranked_query_int8(e, gal, gf32, r, use_pallas=use_pallas,
+                                sel=sel)
+    return _rerank_tail(e, gf32, idx0, k, r, k1, k2, lam, dist)
 
 
 def _pad_gallery(gf: np.ndarray, unit: int):
@@ -172,6 +218,7 @@ class RetrievalService:
         rerank_k1: int = 20,
         rerank_k2: int = 6,
         rerank_lambda: float = 0.3,
+        use_int8_gallery: bool = False,
     ):
         """``int8_calib_imgs``: uint8 [N,H,W,3] sample of the query domain;
         when given, the embed stage runs the int8 PTQ path
@@ -192,7 +239,16 @@ class RetrievalService:
         to [k, gallery]; k1/k2/lambda default to the TPU.RERANK_*
         defaults. On a sharded gallery the candidate rows are assembled
         by a cross-shard psum gather (parallel/retrieval.py), so the
-        program stays one dispatch there too."""
+        program stays one dispatch there too.
+        ``use_int8_gallery=True`` replaces the kernel-dtype gallery copy
+        with a per-row int8 scalar-quantized index
+        (ops/retrieval_int8.py): selection streams half the gallery
+        bytes of bf16 (the HBM-bound stage at 100k+ rows) and the
+        selection copy costs 1 byte/elem resident; final distances stay
+        exact fp32 (margin-select + re-score), so quantization gates
+        candidate recall only. Requires ``exact_rescore=True`` and
+        single-chip serving (a mesh shards fp32/bf16 rows instead —
+        one capacity lever at a time)."""
         self.cfg = cfg
         self.k = int(min(k, len(gallery_paths)))
         self.normalize = normalize
@@ -230,6 +286,19 @@ class RetrievalService:
             if mesh is not None and mesh.shape[GALLERY_AXIS] > 1
             else None
         )
+        self.use_int8_gallery = bool(use_int8_gallery)
+        if self.use_int8_gallery and self.mesh is not None:
+            raise ValueError(
+                "use_int8_gallery is the single-chip capacity/latency "
+                "lever; a mesh shards fp32/bf16 rows across chips "
+                "(parallel/retrieval.py) — use one at a time"
+            )
+        if self.use_int8_gallery and not exact_rescore:
+            raise ValueError(
+                "use_int8_gallery requires exact_rescore=True: the int8 "
+                "index is selection-only, final distances come from the "
+                "resident fp32 rows"
+            )
 
         gf = np.asarray(gallery_embeddings, np.float32)
         if normalize:
@@ -257,6 +326,20 @@ class RetrievalService:
                 NamedSharding(self.mesh, P(None, GALLERY_AXIS)),
             )
             self._shard_rows = gf.shape[0] // n_shards
+        elif self.use_int8_gallery:
+            from ..ops.retrieval_int8 import Int8Gallery, quantize_gallery
+
+            gf, gn = _pad_gallery(gf, _G_TILE)
+            gal = quantize_gallery(gf)  # zero pad rows -> zero codes
+            gn_i8 = np.asarray(gal.gn).copy()
+            gn_i8[g:] = np.inf         # pads must never win selection
+            self._gf = Int8Gallery(
+                codes=jax.device_put(gal.codes),
+                scale=jax.device_put(gal.scale),
+                gn=jax.device_put(jnp.asarray(gn_i8)),
+            )
+            self._gf32 = jax.device_put(jnp.asarray(gf[:g], jnp.float32))
+            self._gn = jax.device_put(jnp.asarray(gn, jnp.float32)[None, :])
         else:
             gf, gn = _pad_gallery(gf, _G_TILE)
             self._gf = jax.device_put(jnp.asarray(gf, kernel_dtype))
@@ -278,7 +361,15 @@ class RetrievalService:
         # floor a 3M-row gallery costs ~1.5 GB of scores, the irreducible
         # minimum for one dispatch.
         k_sel = self.rerank_window or self.k  # selection depth per query
-        if self.mesh is not None or not (use_bf16_kernel and k_sel <= 32):
+        # int8 margin (ops/retrieval_int8.py default), clamped to the
+        # REAL row count so padded +inf rows never enter the candidate
+        # gather against the unpadded fp32 copy
+        self._int8_sel = (
+            min(g, max(2 * k_sel, k_sel + 16))
+            if self.use_int8_gallery else 0
+        )
+        if (self.mesh is not None or self.use_int8_gallery
+                or not (use_bf16_kernel and k_sel <= 32)):
             width = self._shard_rows if self.mesh is not None else gf.shape[0]
             # max(width, 1): an empty gallery (index built before any data
             # arrived) must still construct — its score matrix is 0-wide
@@ -350,9 +441,23 @@ class RetrievalService:
         rr = self.rerank_window
         rk1, rk2, rlam = self._rerank_params
 
+        int8g = self.use_int8_gallery
+        i8sel = self._int8_sel
+
         @jax.jit
         def run(params, batch_stats, gf, gf32, gn, imgs_u8):
             e = embed_q(params, batch_stats, imgs_u8)
+            if int8g:
+                # gf carries the Int8Gallery pytree; gn rides unused
+                # (the index holds its own dequantized-norm row)
+                if rr:
+                    return reranked_query_int8(
+                        e, gf, gf32, k_eff, rr, rk1, rk2, rlam,
+                        use_pallas=use_pallas, dist=self._rerank_dist,
+                        sel=i8sel,
+                    )
+                return ranked_query_int8(e, gf, gf32, k_eff,
+                                         use_pallas=use_pallas, sel=i8sel)
             if rr:
                 return reranked_query(e, gf, gf32, gn, k_eff, rr,
                                       rk1, rk2, rlam, use_pallas=use_pallas,
