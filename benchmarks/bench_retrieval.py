@@ -95,7 +95,8 @@ def bench_int8(qf, gf, k, n1=10, n2=110, reps=3):
             gal.codes, gal.scale, gal.gn.at[g_real:].set(jnp.inf)
         )
     gf32 = jnp.asarray(gfp, jnp.float32)
-    sel = min(g_real, max(2 * k, k + 16))
+    from centroids_reid_tpu.ops.retrieval_int8 import default_margin
+    sel = min(g_real, default_margin(k))
     qf2 = jnp.stack([qf, qf * jnp.asarray(1.0078125, qf.dtype)])
 
     def run(n):

@@ -775,9 +775,10 @@ def build_from_args(argv=None) -> RetrievalHTTPServer:
     parser.add_argument(
         "--int8_gallery", action="store_true",
         help="serve from a per-row int8 scalar-quantized gallery index "
-             "(ops/retrieval_int8.py): half the bf16 selection "
-             "bandwidth, 1-byte/elem selection copy; distances stay "
-             "exact fp32 (margin-select + re-score)",
+             "(ops/retrieval_int8.py): 1-byte/elem selection state, "
+             "distances stay exact fp32 (margin-select + re-score); "
+             "end-to-end latency ~par with bf16 — the index's value is "
+             "resident-memory capacity",
     )
     parser.add_argument(
         "--rerank_k1", type=int, default=None,

@@ -120,13 +120,16 @@ def ranked_query_int8(e, gal, gf32, k: int, use_pallas: bool = True,
                       sel: int = 0):
     """``ranked_query`` over an int8-quantized gallery index
     (ops/retrieval_int8.py — beyond parity, FAISS-SQ8-style): int8
-    candidate selection at margin ``sel`` (0 -> max(2k, k+16), clamped
+    candidate selection at margin ``sel`` (0 -> ``default_margin(k)``, clamped
     by the CALLER to the real row count when ``gal`` is padded) + the
-    same exact fp32 re-score as the bf16 path. Returned distances are
-    exact fp32 squared distances of the returned indices — quantization
-    gates candidate recall only. Halves the selection pass's gallery
-    HBM stream vs bf16 (the measured binding constraint at 100k+ rows,
-    README benchmark notes)."""
+    same exact fp32 re-score as the bf16 path (``gf32=None`` = capacity
+    mode: re-score from dequantized codes, no full-precision copy
+    resident). With ``gf32`` the returned distances are exact fp32
+    squared distances of the returned indices — quantization gates
+    candidate recall only. The index's measured value is memory
+    (1-byte/elem selection state) and the 1.52x score pass; end-to-end
+    latency is selection-bound and stays ~par with bf16 (README
+    benchmark notes)."""
     from ..ops.retrieval_int8 import topk_select_int8
 
     pad_q = (-e.shape[0]) % 128
@@ -242,13 +245,16 @@ class RetrievalService:
         program stays one dispatch there too.
         ``use_int8_gallery=True`` replaces the kernel-dtype gallery copy
         with a per-row int8 scalar-quantized index
-        (ops/retrieval_int8.py): selection streams half the gallery
-        bytes of bf16 (the HBM-bound stage at 100k+ rows) and the
-        selection copy costs 1 byte/elem resident; final distances stay
-        exact fp32 (margin-select + re-score), so quantization gates
-        candidate recall only. Requires ``exact_rescore=True`` and
-        single-chip serving (a mesh shards fp32/bf16 rows instead —
-        one capacity lever at a time)."""
+        (ops/retrieval_int8.py). With ``exact_rescore=True`` final
+        distances stay exact fp32 (margin-select + re-score over the
+        resident fp32 rows) at 5 bytes/elem resident; with
+        ``exact_rescore=False`` (CAPACITY mode) the codes are the only
+        resident gallery state — 1 byte/elem, ~7M x 2048 rows on a
+        16 GB chip — and winners re-score against their own dequantized
+        rows (int8-resolution values, fp32 arithmetic; re-ranking is
+        unavailable there, it needs the full-precision rows).
+        Single-chip serving only (a mesh shards fp32/bf16 rows instead
+        — one capacity lever at a time)."""
         self.cfg = cfg
         self.k = int(min(k, len(gallery_paths)))
         self.normalize = normalize
@@ -293,11 +299,14 @@ class RetrievalService:
                 "lever; a mesh shards fp32/bf16 rows across chips "
                 "(parallel/retrieval.py) — use one at a time"
             )
-        if self.use_int8_gallery and not exact_rescore:
+        if (self.use_int8_gallery and not exact_rescore
+                and rerank_window):
             raise ValueError(
-                "use_int8_gallery requires exact_rescore=True: the int8 "
-                "index is selection-only, final distances come from the "
-                "resident fp32 rows"
+                "use_int8_gallery + exact_rescore=False (capacity mode: "
+                "codes are the ONLY resident gallery state) cannot "
+                "re-rank — the windowed k-reciprocal core needs the "
+                "full-precision rows; keep exact_rescore=True to combine "
+                "int8 selection with re-ranking"
             )
 
         gf = np.asarray(gallery_embeddings, np.float32)
@@ -338,7 +347,15 @@ class RetrievalService:
                 scale=jax.device_put(gal.scale),
                 gn=jax.device_put(jnp.asarray(gn_i8)),
             )
-            self._gf32 = jax.device_put(jnp.asarray(gf[:g], jnp.float32))
+            # capacity mode (exact_rescore=False): the codes are the
+            # ONLY resident gallery state — winners re-score against
+            # their own dequantized rows (0-row placeholder keeps the
+            # run signature uniform; the program never touches it)
+            self._gf32 = (
+                jax.device_put(jnp.asarray(gf[:g], jnp.float32))
+                if exact_rescore
+                else jnp.zeros((0, gf.shape[1]), jnp.float32)
+            )
             self._gn = jax.device_put(jnp.asarray(gn, jnp.float32)[None, :])
         else:
             gf, gn = _pad_gallery(gf, _G_TILE)
@@ -364,10 +381,12 @@ class RetrievalService:
         # int8 margin (ops/retrieval_int8.py default), clamped to the
         # REAL row count so padded +inf rows never enter the candidate
         # gather against the unpadded fp32 copy
-        self._int8_sel = (
-            min(g, max(2 * k_sel, k_sel + 16))
-            if self.use_int8_gallery else 0
-        )
+        if self.use_int8_gallery:
+            from ..ops.retrieval_int8 import default_margin
+
+            self._int8_sel = min(g, default_margin(k_sel))
+        else:
+            self._int8_sel = 0
         if (self.mesh is not None or self.use_int8_gallery
                 or not (use_bf16_kernel and k_sel <= 32)):
             width = self._shard_rows if self.mesh is not None else gf.shape[0]
@@ -443,20 +462,24 @@ class RetrievalService:
 
         int8g = self.use_int8_gallery
         i8sel = self._int8_sel
+        i8_exact = bool(exact_rescore)
 
         @jax.jit
         def run(params, batch_stats, gf, gf32, gn, imgs_u8):
             e = embed_q(params, batch_stats, imgs_u8)
             if int8g:
                 # gf carries the Int8Gallery pytree; gn rides unused
-                # (the index holds its own dequantized-norm row)
+                # (the index holds its own dequantized-norm row). In
+                # capacity mode gf32 is the 0-row placeholder — pass
+                # None so winners re-score from dequantized codes.
+                g32 = gf32 if i8_exact else None
                 if rr:
                     return reranked_query_int8(
-                        e, gf, gf32, k_eff, rr, rk1, rk2, rlam,
+                        e, gf, g32, k_eff, rr, rk1, rk2, rlam,
                         use_pallas=use_pallas, dist=self._rerank_dist,
                         sel=i8sel,
                     )
-                return ranked_query_int8(e, gf, gf32, k_eff,
+                return ranked_query_int8(e, gf, g32, k_eff,
                                          use_pallas=use_pallas, sel=i8sel)
             if rr:
                 return reranked_query(e, gf, gf32, gn, k_eff, rr,

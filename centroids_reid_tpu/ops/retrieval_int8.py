@@ -4,13 +4,20 @@ index, the TPU analogue of FAISS's SQ8 flat index).
 The reference ships no quantized retrieval (its whole retrieval surface
 is the fp32 distmat in /root/reference/inference/get_similar.py:112-119);
 this is a production-scale addition on top of ops/retrieval.py's fused
-kernels. Motivation is the measured roofline: at 100k x 2048 the bf16
-score pass is HBM-bound on the GALLERY read (the [G, D] stream dwarfs
-queries and outputs), so halving gallery bytes roughly halves the
-selection pass; at 1M rows the score pass dominates end-to-end latency
-and the win compounds. A quantized gallery also halves the selection
-copy's HBM residency (int8 + fp32 re-score rows = 5 bytes/elem vs the
-bf16 + fp32 pair's 6).
+kernels. What it buys, per v5e measurement (README benchmark notes):
+
+* the SCORE pass is HBM-bound on the gallery read and int8 halves
+  those bytes — measured 1.52x (0.364 ms vs bf16's 0.552 ms at
+  100k x 2048, Q=128);
+* END-TO-END latency stays at rough parity with the bf16 kernels,
+  because the selection stage (k-pass VPU scans over score state) is
+  dtype-independent and dominates past the score pass — int8 is NOT a
+  latency lever on this part;
+* the standing win is MEMORY: capacity mode (``gf32=None``) keeps the
+  1-byte/elem codes as the ONLY resident gallery state — ~7M x 2048
+  rows on one 16 GB chip vs ~2.6M for the exact bf16+fp32 pair, ~2x
+  the bf16-only configuration — and exact mode (codes + fp32 rows,
+  5 bytes/elem) keeps exact distances while dropping the bf16 copy.
 
 Scheme — per-row symmetric int8 with exact re-score:
 
@@ -25,7 +32,7 @@ Scheme — per-row symmetric int8 with exact re-score:
   bf16 in VMEM, one MXU matmul per tile, then folds the row scale into
   the score: ``gn - 2 s_r (q . q8)``. Top-``sel`` candidates per query
   via the shared hierarchical selection (ops/retrieval.py).
-* exact re-score: the ``sel`` (default ``max(2k, k+16)``) candidates are
+* exact re-score: the ``sel`` (default ``default_margin(k)``) candidates are
   re-scored against the fp32 gallery rows and the final top-k is exact
   fp32 over them — quantization can only cost recall when a true top-k
   member is pushed below rank ``sel`` by rounding noise (per-element
@@ -84,6 +91,16 @@ def quantize_gallery(gf) -> Int8Gallery:
         codes.astype(jnp.float32) ** 2, axis=1
     )
     return Int8Gallery(codes=codes, scale=scale[:, 0], gn=deq_gn)
+
+
+
+def default_margin(k: int) -> int:
+    """Default candidate margin: ``k + max(16, k // 4)`` — quantization
+    noise displaces ranks locally (sub-1% score noise), so a fixed floor
+    plus a small proportional slack recovers the true top-k (recall
+    tests in tests/test_retrieval_int8.py); 2k margins were measured to
+    waste ~40% of selection+re-score time at k=100 for no recall gain."""
+    return k + max(16, k // 4)
 
 
 def _score_block_kernel_i8(q_ref, g8_ref, s_ref, gn_ref, out_ref):
@@ -155,8 +172,13 @@ def topk_select_int8(qf, gal: Int8Gallery, gf32, k: int, *,
 
     ``qf`` [Q, D] (any float dtype; scored in bf16), ``gal`` the
     quantized index, ``gf32`` [G, D] fp32 rows for the re-score (the
-    authoritative distances; only ``k`` x Q rows are ever gathered).
-    ``sel`` is the candidate margin (0 -> ``max(2k, k+16)``); raising it
+    authoritative distances; only ``k`` x Q rows are ever gathered) —
+    or ``None`` for CAPACITY mode: candidates re-score against their
+    own DEQUANTIZED rows (``scale * codes``, computed per gathered
+    candidate), so the only resident gallery state is the 1-byte/elem
+    codes (+ scale/gn vectors); distances are then exact distances to
+    the dequantized gallery (int8-resolution rows, fp32 arithmetic).
+    ``sel`` is the candidate margin (0 -> ``default_margin(k)``); raising it
     trades a slightly longer re-score for recall under heavier
     quantization noise. Returns raw ``||g||^2 - 2 q.g`` scores like
     ``ops.retrieval.topk_select`` (the ||q||^2 term is rank-invariant).
@@ -171,7 +193,7 @@ def topk_select_int8(qf, gal: Int8Gallery, gf32, k: int, *,
     """
     g = gal.num_rows
     k_eff = min(int(k), g)
-    n_sel = min(g, int(sel) if sel else max(2 * k_eff, k_eff + 16))
+    n_sel = min(g, int(sel) if sel else default_margin(k_eff))
 
     qbf = qf.astype(jnp.bfloat16)
     s_row = gal.scale[None, :]
@@ -192,7 +214,15 @@ def topk_select_int8(qf, gal: Int8Gallery, gf32, k: int, *,
     _, cand = _hier_topk_build(scores, n_sel, use_pallas)    # [Q, n_sel]
 
     # exact fp32 re-score of the candidate set; top-k over it
-    rows = jnp.take(gf32, cand, axis=0)                      # [Q, n_sel, D]
+    if gf32 is None:
+        # capacity mode: dequantize the gathered candidate rows — no
+        # full-precision gallery copy exists anywhere
+        rows = (
+            jnp.take(gal.codes, cand, axis=0).astype(jnp.float32)
+            * jnp.take(gal.scale, cand)[:, :, None]
+        )
+    else:
+        rows = jnp.take(gf32, cand, axis=0)                  # [Q, n_sel, D]
     dots = jnp.einsum(
         "qd,qnd->qn", qf.astype(jnp.float32), rows,
         precision=jax.lax.Precision.HIGHEST,
@@ -219,11 +249,15 @@ def topk_retrieval_int8(
     the returned candidates); ``gal`` = ``quantize_gallery(gf)`` and
     ``gf32`` the fp32 rows (cosine: pass the NORMALIZED rows to both —
     quantize what you rank, exactly as the service normalizes before
-    ranking). Selection recall is governed by ``sel`` (see
-    ``topk_select_int8``); distances of returned indices are exact.
+    ranking), or ``gf32=None`` for capacity mode (winners re-score from
+    their dequantized codes; distances are then exact distances to the
+    dequantized gallery). Selection recall is governed by ``sel`` (see
+    ``topk_select_int8``); distances of returned indices are exact for
+    the rows the mode ranks.
     """
     qf = jnp.asarray(qf)
-    gf32 = jnp.asarray(gf32, jnp.float32)
+    if gf32 is not None:
+        gf32 = jnp.asarray(gf32, jnp.float32)
     if dist == "cosine":
         qf32 = qf.astype(jnp.float32)
         qn = jnp.maximum(jnp.linalg.norm(qf32, axis=1, keepdims=True), 1e-12)
@@ -237,7 +271,7 @@ def topk_retrieval_int8(
     # wider than the gallery would drag +inf-gn pad rows into the
     # candidate set, and their re-score gather against the unpadded
     # ``gf32`` would clamp to the last real row (duplicated indices)
-    sel = min(g, int(sel) if sel else max(2 * k_eff, k_eff + 16))
+    sel = min(g, int(sel) if sel else default_margin(k_eff))
 
     # pad gallery to the tile multiple (+inf gn keeps pads out of top-k)
     pad_g = (-g) % _G_TILE

@@ -251,8 +251,9 @@ def test_service_int8_gallery_rerank_matches_fp32_rerank(svc_setup):
 
 
 def test_service_int8_gallery_guards(svc_setup):
-    """Composition guards: int8 gallery is single-chip + exact-rescore
-    only (mesh shards fp32/bf16 rows; the index is selection-only)."""
+    """Composition guards: int8 gallery is single-chip (a mesh shards
+    fp32/bf16 rows), and capacity mode (exact_rescore=False) cannot
+    re-rank (the windowed core needs full-precision rows)."""
     from centroids_reid_tpu.inference import RetrievalService
     from centroids_reid_tpu.parallel import make_retrieval_mesh
 
@@ -264,8 +265,66 @@ def test_service_int8_gallery_guards(svc_setup):
             cfg, gal, paths, k=5, model_bundle=bundle,
             mesh=make_retrieval_mesh(), use_int8_gallery=True,
         )
-    with pytest.raises(ValueError, match="exact_rescore"):
+    with pytest.raises(ValueError, match="re-rank"):
         RetrievalService(
             cfg, gal, paths, k=5, model_bundle=bundle,
-            exact_rescore=False, use_int8_gallery=True,
+            exact_rescore=False, use_int8_gallery=True, rerank_window=8,
         )
+
+
+def test_capacity_mode_rescore_from_codes():
+    """gf32=None (capacity mode): distances equal exact retrieval over
+    the DEQUANTIZED gallery — the codes are the whole index."""
+    qf, gf = _rand(8, g=512, d=64, q=16)
+    gal = quantize_gallery(gf)
+    deq = np.asarray(gal.codes, np.float32) * np.asarray(gal.scale)[:, None]
+    d_ref, i_ref = topk_retrieval(qf, deq, k=7, use_pallas=False)
+    d_cap, i_cap = topk_retrieval_int8(
+        qf, gal, None, k=7, sel=gf.shape[0], use_pallas=False,
+    )
+    np.testing.assert_array_equal(i_cap, i_ref)
+    np.testing.assert_allclose(d_cap, d_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_service_int8_capacity_mode(svc_setup):
+    """Service capacity mode: no full-precision copy resident (0-row
+    placeholder), and responses equal the ops-level capacity oracle on
+    the service's own (normalized) embeddings."""
+    import jax.numpy as _jnp
+
+    from centroids_reid_tpu.data.transforms import normalize_batch
+    from centroids_reid_tpu.inference import RetrievalService
+
+    cfg, bundle, imgs = svc_setup
+    rng = np.random.RandomState(9)
+    gal = rng.randn(16, 512).astype(np.float32)
+    paths = np.array([f"g{i}" for i in range(16)])
+    svc_cap = RetrievalService(
+        cfg, gal, paths, k=5, normalize=True, model_bundle=bundle,
+        use_bf16_kernel=False, use_int8_gallery=True, exact_rescore=False,
+    )
+    assert svc_cap._gf32.shape[0] == 0  # nothing full-precision resident
+    d_c, i_c, p_c = svc_cap.query_arrays(imgs)
+
+    # oracle: embed by hand exactly like the service (normalize ->
+    # embed -> L2), quantize the normalized gallery, capacity retrieval
+    model, params, batch_stats = bundle
+    x = normalize_batch(
+        _jnp.asarray(imgs), tuple(cfg.INPUT.PIXEL_MEAN),
+        tuple(cfg.INPUT.PIXEL_STD), dtype=_jnp.float32,
+    )
+    e = model.apply(
+        {"params": params, "batch_stats": batch_stats}, x,
+        method=model.embed,
+    )
+    e = np.asarray(e / _jnp.maximum(
+        _jnp.linalg.norm(e, axis=1, keepdims=True), 1e-12
+    ))
+    g_n = gal / np.maximum(np.linalg.norm(gal, axis=1, keepdims=True),
+                           1e-12)
+    d_ref, i_ref = topk_retrieval_int8(
+        e, quantize_gallery(g_n), None, k=5, sel=16, use_pallas=False,
+    )
+    np.testing.assert_array_equal(i_c, i_ref)
+    np.testing.assert_allclose(d_c, d_ref, rtol=1e-4, atol=1e-4)
+    assert (p_c == paths[np.asarray(i_ref)]).all()
